@@ -1,0 +1,276 @@
+"""Typed configuration tree for the TPU-native CamRaDepth framework.
+
+Replaces the reference's argparse->EasyDict singleton (see
+/root/reference/src/utils/args.py:11-198) with an immutable dataclass tree.
+The six published experiment presets (args.py:72-122) are exposed via
+:func:`preset`, and the derived-field logic (update_interval, channel flags,
+transformer-depth variants, args.py:124-198) lives in ``__post_init__`` /
+factory helpers so it is pure and unit-testable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence, Tuple
+
+# Transformer depth variants (reference args.py:186-188). The published runs
+# use variant "5" = (3, 10, 16, 5).
+TRANSFORMER_DEPTH_VARIANTS: Mapping[str, Tuple[int, int, int, int]] = {
+    "0": (2, 2, 2, 2),
+    "1": (2, 2, 2, 2),
+    "1.5": (2, 2, 3, 3),
+    "2": (3, 3, 6, 3),
+    "2.5": (3, 4, 7, 3),
+    "3": (3, 6, 8, 3),
+    "3.5": (3, 8, 10, 3),
+    "4": (3, 8, 12, 5),
+    "5": (3, 10, 16, 5),
+}
+
+MODEL_VARIANTS = (
+    "base (rgb)",
+    "base",
+    "supervised_seg",
+    "unsupervised_seg",
+    "sup_unsup_seg",
+    "sup_unsup_seg (rgb)",
+)
+
+# ImageNet normalization constants. NOTE: the reference normalizes cv2's BGR
+# channel order with these RGB-ordered stats (dataloader.py:225-232). We keep
+# the same behavior for weight round-trip parity; see data/channels.py.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters (reference CamRaDepth.py:20-57)."""
+
+    img_size: Tuple[int, int] = (416, 800)
+    dims: Tuple[int, int, int, int] = (64, 128, 160, 256)
+    heads: Tuple[int, int, int, int] = (1, 2, 4, 8)
+    ff_expansion: Tuple[int, int, int, int] = (8, 8, 4, 4)
+    sr_ratios: Tuple[int, int, int, int] = (8, 4, 2, 1)
+    depths: Tuple[int, int, int, int] = (3, 10, 16, 5)
+    mid_channels: int = 128
+    input_channels: int = 7
+    num_classes: int = 21
+    unsup_classes: int = 19
+    supervised_seg: bool = False
+    unsupervised_seg: bool = False
+    groupnorm_divisor: int = 16
+    drop_path_rate: float = 0.1
+    dropout_rate: float = 0.2  # Dropout2d in the decoder (CamRaDepth.py:96)
+    qkv_bias: bool = True
+    # Compute dtype for the forward pass ("bfloat16" or "float32"). Norms and
+    # params stay float32; this replaces the reference's CUDA AMP autocast.
+    compute_dtype: str = "bfloat16"
+    # Use the fused Pallas max-pool-attention kernel where profitable.
+    use_pallas_attention: bool = True
+
+    def __post_init__(self):
+        for name in ("dims", "heads", "ff_expansion", "sr_ratios", "depths"):
+            v = getattr(self, name)
+            if len(v) != 4:
+                raise ValueError(f"{name} must have 4 stages, got {v}")
+        if self.input_channels <= 0:
+            raise ValueError("input_channels must be > 0")
+        for d in self.dims:
+            if d % self.groupnorm_divisor:
+                raise ValueError(
+                    f"dims must be divisible by groupnorm_divisor, got {d}"
+                )
+
+    @property
+    def stage_strides(self) -> Tuple[int, int, int, int]:
+        return (4, 8, 16, 32)
+
+    def feature_shape(self, stage: int) -> Tuple[int, int]:
+        s = self.stage_strides[stage]
+        return (self.img_size[0] // s, self.img_size[1] // s)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Input-pipeline options (reference args.py:14-22, 190-198)."""
+
+    split_path: str = "original_split.npy"
+    image_dimension: Tuple[int, int] = (416, 800)
+    max_depth: float = 100.0
+    # Reference evaluates at caps [100, 50] in *inverse* space
+    # (args.py:15, runner.py:451-492); the north-star adds true-depth caps.
+    max_distances: Tuple[float, ...] = (100.0, 50.0)
+    train_val_split: Tuple[int, int] = (17902, 2237)
+    mini_dataset: bool = False
+    num_workers: int = 8
+    prefetch: int = 2
+    # Channel-assembly flags (args.py:190-198 defaults).
+    sparse_lidar: bool = False
+    filtered_radar: bool = False
+    lidar_ratio: Tuple[float, float] = (0.75, 0.25)
+    sparse_depth_uv: bool = True
+    im_uv: bool = False
+    rad_vel: bool = True
+    radar_uv: bool = False
+    gt_uv: bool = False
+
+    @property
+    def effective_train_val_split(self) -> Tuple[int, int]:
+        return (0, 0) if self.mini_dataset else self.train_val_split
+
+    @property
+    def num_samples(self) -> int:
+        return sum(self.effective_train_val_split)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization settings (reference args.py:29-42, 105-122)."""
+
+    batch_size: int = 2
+    desired_batch_size: int = 6
+    learning_rate: float = 6e-5
+    div_factor: float = 2.0
+    final_div_factor: float = 1e4
+    pct_start: float = 0.15
+    num_epochs: int = 30
+    num_steps: int | None = 60_000
+    early_stopping_thresh: int = 6
+    stop_after: int | None = None
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    # Deep-supervision loss weights [final, stage4, stage3, seg_final,
+    # seg_inter] (runner.py:213-215).
+    loss_weights: Tuple[float, float, float, float, float] = (1, 1, 1, 0.2, 0.2)
+    seed: int = 0
+    checkpoint: str | None = None
+    load_ckpt: bool = False
+    save_model: bool = False
+    output_dir: str = "Output"
+    arch_name: str = "Transformer"
+    run_name: str = "current"
+    log_every: int = 50
+
+    def __post_init__(self):
+        if self.desired_batch_size % self.batch_size:
+            raise ValueError(
+                "desired_batch_size must be a multiple of batch_size"
+            )
+
+    @property
+    def update_interval(self) -> int:
+        """Gradient-accumulation factor (args.py:132)."""
+        return self.desired_batch_size // self.batch_size
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit sharding. The reference's only parallelism
+    is single-process ``nn.DataParallel`` (runner.py:135-136); here batches
+    shard over a ``data`` ICI axis and optimizer state can shard over a
+    ``fsdp`` axis."""
+
+    data_axis: str = "data"
+    fsdp_axis: str = "fsdp"
+    data_parallel: int = -1  # -1 = all available devices
+    fsdp_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    name: str = "base"
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _variant_flags(model_name: str) -> Tuple[bool, bool, int]:
+    """Map a reference model-variant string to (supervised_seg,
+    unsupervised_seg, input_channels) — args.py:156-167."""
+    if model_name not in MODEL_VARIANTS:
+        raise ValueError(f"Model type invalid: {model_name}")
+    sup = model_name in ("sup_unsup_seg", "sup_unsup_seg (rgb)", "supervised_seg")
+    unsup = model_name in ("sup_unsup_seg", "sup_unsup_seg (rgb)", "unsupervised_seg")
+    rgb_only = model_name in ("base (rgb)", "sup_unsup_seg (rgb)")
+    input_channels = 3 if rgb_only else 7
+    return sup, unsup, input_channels
+
+
+# The six published experiment presets (args.py:85-122).
+_PRESET_NAMES: Mapping[str, str] = {
+    "base_rgb": "base (rgb)",
+    "base": "base",
+    "supervised_seg": "supervised_seg",
+    "unsupervised_seg": "unsupervised_seg",
+    "sup_unsup_seg": "sup_unsup_seg",
+    "sup_unsup_seg_rgb": "sup_unsup_seg (rgb)",
+}
+
+
+def preset(name: str, **overrides) -> ExperimentConfig:
+    """Build one of the six published experiment configurations."""
+    if name not in _PRESET_NAMES:
+        raise ValueError(
+            f"Unknown preset {name!r}; choose from {sorted(_PRESET_NAMES)}"
+        )
+    variant = _PRESET_NAMES[name]
+    sup, unsup, in_ch = _variant_flags(variant)
+    model = ModelConfig(
+        supervised_seg=sup,
+        unsupervised_seg=unsup,
+        input_channels=in_ch,
+    )
+    train = TrainConfig(
+        batch_size=2,
+        desired_batch_size=6,
+        learning_rate=6e-5,
+        div_factor=2.0,
+        num_steps=60_000,
+    )
+    cfg = ExperimentConfig(model=model, train=train, name=name)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def num_epochs_for_steps(cfg: ExperimentConfig) -> int:
+    """Auto-derived epoch count when training is step-budgeted
+    (args.py:141-143)."""
+    if cfg.train.num_steps is None:
+        return cfg.train.num_epochs
+    train_n = cfg.data.effective_train_val_split[0]
+    if train_n <= 0:
+        return cfg.train.num_epochs
+    return max(1, cfg.train.num_steps * cfg.train.batch_size // train_n)
+
+
+def tiny_test_config(**overrides) -> ExperimentConfig:
+    """A miniature config for unit tests and CPU-mesh dry runs."""
+    model = ModelConfig(
+        img_size=(64, 128),
+        dims=(16, 32, 32, 64),
+        heads=(1, 2, 4, 8),
+        ff_expansion=(2, 2, 2, 2),
+        sr_ratios=(8, 4, 2, 1),
+        depths=(1, 1, 1, 1),
+        mid_channels=32,
+        input_channels=7,
+        groupnorm_divisor=16,
+        drop_path_rate=0.0,
+        compute_dtype="float32",
+        use_pallas_attention=False,
+    )
+    train = TrainConfig(batch_size=2, desired_batch_size=4, num_steps=None,
+                        num_epochs=1)
+    data = DataConfig(image_dimension=(64, 128), train_val_split=(4, 2))
+    cfg = ExperimentConfig(model=model, data=data, train=train, name="tiny")
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

@@ -1,0 +1,230 @@
+"""Convolutional building blocks (NHWC, Flax linen).
+
+TPU-native re-design of the reference blocks in
+/root/reference/src/utils/utils.py: ``ConvLayer`` (:201-228), ``ShortResBlock``
+(:103-135), ``Decoder`` (:231-257), ``Depth_Activation`` (:274-289) and
+``Seg_Block`` (:87-100). Layout is channels-last so convs tile directly onto
+the MXU; normalization runs in float32 while convs/activations run in the
+configured compute dtype (bf16 by default), replacing the reference's CUDA
+AMP autocast.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from camradepth_tpu.ops.resize import upsample_bicubic_x2
+
+Dtype = Any
+
+# torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+torch_default_conv_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+# kaiming_normal(mode=fan_out, nonlinearity=relu): N(0, sqrt(2/fan_out))
+kaiming_out_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+trunc002_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _uniform_fan_in_bias(fan_in: int):
+    """torch's default conv bias init: U(+-1/sqrt(fan_in))."""
+    limit = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm matching torch semantics: groups = C // divisor, eps 1e-5,
+    statistics in float32 (reference: nn.GroupNorm everywhere, divisor 16 —
+    args.py:37)."""
+
+    divisor: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = nn.GroupNorm(
+            num_groups=max(1, c // self.divisor),
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath equivalent)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+class ConvLayer(nn.Module):
+    """conv(bias=False) -> GroupNorm -> GELU (utils.py:201-228)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    activation: str = "gelu"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=False,
+            kernel_init=kaiming_out_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = GroupNorm(dtype=self.dtype, name="norm")(x)
+        # torch nn.GELU() is the exact erf form.
+        act = {
+            "gelu": lambda v: nn.gelu(v, approximate=False),
+            "relu": nn.relu,
+            "elu": nn.elu,
+        }[self.activation]
+        return act(x)
+
+
+class ShortResBlock(nn.Module):
+    """3-layer shrinking dense block (utils.py:103-135).
+
+    Channel plan for mid=128: in -> 96, cat -> 64, cat -> out; the first two
+    outputs are int(mid*0.75) and int(mid*0.5)."""
+
+    features: int
+    mid_channels: int = 128
+    num_layers: int = 3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        widths = []
+        for i in range(self.num_layers):
+            if i == self.num_layers - 1:
+                widths.append(self.features)
+            else:
+                widths.append(int(self.mid_channels * (0.75 - 0.25 * i)))
+        for i in range(self.num_layers - 1):
+            out = ConvLayer(widths[i], dtype=self.dtype, name=f"layers_{i}")(x)
+            x = jnp.concatenate([x, out], axis=-1)
+        return ConvLayer(
+            widths[-1], dtype=self.dtype, name=f"layers_{self.num_layers - 1}"
+        )(x)
+
+
+class Decoder(nn.Module):
+    """Bicubic x2 upsample -> optional skip concat -> ShortResBlock
+    (utils.py:231-257)."""
+
+    features: int
+    mid_channels: int = 128
+    has_skip: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        x = upsample_bicubic_x2(x)
+        if self.has_skip:
+            assert skip is not None
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        return ShortResBlock(
+            self.features, mid_channels=self.mid_channels, dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class DepthActivation(nn.Module):
+    """conv -> sigmoid -> conv depth head (utils.py:274-289)."""
+
+    features: int = 1
+    iter_channels: int = 32
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            self.iter_channels,
+            (3, 3),
+            padding=[(1, 1)] * 2,
+            use_bias=True,
+            kernel_init=torch_default_conv_init,
+            bias_init=_uniform_fan_in_bias(in_ch * 9),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv_1",
+        )(x)
+        x = nn.sigmoid(x.astype(jnp.float32)).astype(self.dtype)
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            padding=[(1, 1)] * 2,
+            use_bias=True,
+            kernel_init=torch_default_conv_init,
+            bias_init=_uniform_fan_in_bias(self.iter_channels * 9),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv_2",
+        )(x)
+        return x
+
+
+def seg_block(seg_logits: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """argmax/num_classes map (utils.py:87-100). NHWC: class axis is last.
+
+    As in the reference, argmax is non-differentiable, so the seg->depth
+    guidance path intentionally carries no gradient (SURVEY.md defect note).
+    """
+    seg_map = jnp.argmax(seg_logits, axis=-1, keepdims=True)
+    return (seg_map.astype(jnp.float32) / num_classes).astype(seg_logits.dtype)
+
+
+class SegConv(nn.Module):
+    """Plain 3x3 conv logits head (torch-default init), e.g.
+    seg_conv_stage_4 / unsup_stage_4 (CamRaDepth.py:88-94)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            padding=[(1, 1)] * 2,
+            use_bias=True,
+            kernel_init=torch_default_conv_init,
+            bias_init=_uniform_fan_in_bias(in_ch * 9),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
