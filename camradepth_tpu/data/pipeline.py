@@ -1,0 +1,206 @@
+"""Input pipeline: threaded host loader -> fixed-shape device batches.
+
+Replaces the reference's torch DataLoader stack (dataloader.py:22-50,
+197-336) with a TPU-idiomatic design:
+
+- host side: a thread pool decodes jpgs (cv2), loads .npy artifacts and
+  assembles the exact reference channel stack (data/channels.py);
+- batches are fixed-shape float32 numpy, transferred once per step with
+  ``jax.device_put`` against a (possibly sharded) layout — batch axis over
+  the ``data`` mesh axis;
+- cheap math that torch did per-item on CPU (min-pool pyramid, masking)
+  moves inside the jitted step where XLA fuses it for free.
+
+A ``prefetch`` depth of 2 keeps the next batch's host work and H2D copy
+overlapped with device compute.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import os
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from camradepth_tpu.config import DataConfig
+from camradepth_tpu.data import channels as ch
+from camradepth_tpu.data.split import load_split, split_ranges
+
+try:  # cv2 is available in this image; gate anyway for portability.
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _imread_resized(path: str, hw) -> np.ndarray:
+    """cv2.imread (BGR) + INTER_NEAREST resize to (H, W)
+    (dataloader.py:225-227)."""
+    if cv2 is None:
+        raise RuntimeError("cv2 required for jpg decoding")
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    h, w = hw
+    if img.shape[:2] != (h, w):
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_NEAREST)
+    return img
+
+
+def load_frame_arrays(row: Sequence[str], cfg: DataConfig) -> Dict[str, np.ndarray]:
+    """Read the artifacts one frame needs (skips types the channel flags
+    don't use)."""
+    arrays: Dict[str, np.ndarray] = {}
+    arrays["image"] = _imread_resized(str(row[0]), cfg.image_dimension)
+    arrays["gt"] = np.load(str(row[6]))
+    arrays["mseg"] = np.load(str(row[3]))
+    if cfg.filtered_radar:
+        arrays["radar_filtered"] = np.load(str(row[2]))
+    elif not cfg.sparse_lidar:
+        arrays["radar"] = np.load(str(row[1]))
+        if cfg.rad_vel:
+            arrays["rad_vel"] = np.load(str(row[5]))
+        if cfg.im_uv:
+            arrays["im_uv"] = np.load(str(row[4]))
+    return arrays
+
+
+class NuscenesFrames:
+    """Random-access frame store over a split table (reference
+    NuscenesDataset, dataloader.py:197-336)."""
+
+    def __init__(self, rows: np.ndarray, cfg: DataConfig,
+                 seed: int = 0):
+        self.rows = rows
+        self.cfg = cfg
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def name(self, index: int) -> str:
+        # frame id derived from the gt path (dataloader.py:332)
+        return Path(str(self.rows[index][6])).name.split(".")[0] + ".png"
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        arrays = load_frame_arrays(self.rows[index], self.cfg)
+        out = ch.assemble_frame(arrays, self.cfg, rng=self._rng)
+        out["index"] = np.int32(index)
+        return out
+
+
+class BatchLoader:
+    """Threaded, prefetching batch iterator with fixed shapes.
+
+    Yields dicts of stacked numpy arrays; the caller (trainer/eval harness)
+    device_puts them with the right sharding. Drops the ragged tail batch in
+    training (shuffled) and pads+masks it in eval so every frame counts.
+    """
+
+    def __init__(
+        self,
+        frames: NuscenesFrames,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        drop_remainder: Optional[bool] = None,
+        seed: int = 0,
+    ):
+        self.frames = frames
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.drop_remainder = shuffle if drop_remainder is None else drop_remainder
+        self._seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.frames)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self):
+        n = len(self.frames)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size: (b + 1) * self.batch_size]
+            yield idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._epoch += 1
+        pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            window: collections.deque = collections.deque()
+            batches = self._index_batches()
+
+            def submit_next():
+                try:
+                    idx = next(batches)
+                except StopIteration:
+                    return False
+                futs = [pool.submit(self.frames.__getitem__, int(i))
+                        for i in idx]
+                window.append((idx, futs))
+                return True
+
+            for _ in range(self.prefetch):
+                if not submit_next():
+                    break
+            while window:
+                idx, futs = window.popleft()
+                submit_next()
+                examples = [f.result() for f in futs]
+                pad = self.batch_size - len(examples)
+                valid = np.ones((self.batch_size,), np.float32)
+                if pad:
+                    examples.extend([examples[-1]] * pad)
+                    valid[len(examples) - pad:] = 0.0
+                batch = {
+                    k: np.stack([e[k] for e in examples])
+                    for k in examples[0]
+                }
+                batch["valid"] = valid
+                yield batch
+        finally:
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                # Generator finalization at interpreter teardown can run
+                # after the queue module is torn down; nothing to clean up.
+                pass
+
+
+def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
+                 num_workers: Optional[int] = None, seed: int = 0):
+    """Train/val/test loaders over a split file (reference
+    make_dataloaders, dataloader.py:22-50): train = rows[:n_train] shuffled,
+    val = next n_val, test = remainder at batch 1 semantics (we batch test
+    too — metrics are per-frame either way)."""
+    rows = load_split(split_path or cfg.split_path)
+    tr, va, te = split_ranges(len(rows), cfg.effective_train_val_split)
+    workers = cfg.num_workers if num_workers is None else num_workers
+
+    def mk(r, shuffle, bs, drop):
+        if len(r) == 0:
+            return None
+        frames = NuscenesFrames(rows[list(r)], cfg, seed=seed)
+        return BatchLoader(
+            frames, bs, shuffle=shuffle, num_workers=workers,
+            prefetch=cfg.prefetch, drop_remainder=drop, seed=seed,
+        )
+
+    return {
+        "train": mk(tr, True, batch_size, True),
+        "val": mk(va, False, batch_size, False),
+        "test": mk(te, False, batch_size, False),
+    }

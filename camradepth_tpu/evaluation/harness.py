@@ -1,0 +1,132 @@
+"""Test-mode evaluation driver: reference metric report + throughput.
+
+Mirrors the reference's test flow (runner.py:394-519) — per-frame metrics at
+both caps, rain(edge)/sunny RMSE split by filename, seg IoU, mean inference
+time — but batched: the device computes per-frame metric rows for a whole
+batch in one jitted call, and only tiny [B]-vectors cross the host boundary
+(the reference syncs full prediction maps to host per frame).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camradepth_tpu.config import ExperimentConfig
+from camradepth_tpu.evaluation import metrics as M
+
+
+def make_test_step(cfg: ExperimentConfig, model):
+    """Returns test_step(params, batch) -> per-frame metric rows [B]."""
+
+    def test_step(params, batch):
+        pred = model.apply(
+            {"params": params}, batch["features"], deterministic=True
+        )
+        depth = pred["depth"]["final_depth"][..., 0]
+        rows = M.depth_metrics_inverse(
+            depth,
+            batch["gt_depth"],
+            cfg.data.max_depth,
+            cfg.data.max_distances,
+        )
+        rows.update(
+            M.depth_metrics_true(depth, batch["gt_depth"], cfg.data.max_depth)
+        )
+        if cfg.model.supervised_seg and pred["seg"]["final_seg"] is not None:
+            rows["iou"] = M.jaccard_index(
+                pred["seg"]["final_seg"], batch["seg"], cfg.model.num_classes
+            )
+        return rows
+
+    return test_step
+
+
+def evaluate(
+    cfg: ExperimentConfig,
+    model,
+    params,
+    loader,
+    time_inference: bool = True,
+) -> Dict[str, float]:
+    """Run the full test split; returns the reference report plus
+    true-depth north-star metrics and throughput."""
+    test_step = jax.jit(make_test_step(cfg, model))
+    all_rows = []
+    names = []
+    n_frames = 0
+    t_start = time.perf_counter()
+    for batch in loader:
+        dev_batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k in ("features", "gt_depth", "seg")
+        }
+        rows = test_step(params, dev_batch)
+        rows = {k: np.asarray(v) for k, v in rows.items()}
+        valid = batch["valid"].astype(bool)
+        for k in rows:
+            rows[k] = rows[k][valid]
+        all_rows.append(rows)
+        idxs = batch["index"][valid]
+        names.extend(loader.frames.name(int(i)) for i in idxs)
+        n_frames += int(valid.sum())
+    wall = time.perf_counter() - t_start
+
+    keys = all_rows[0].keys()
+    cat = {k: np.concatenate([r[k] for r in all_rows]) for k in keys}
+
+    cap0, cap1 = (int(c) for c in cfg.data.max_distances[:2])
+    rain = np.array(["rain" in n for n in names])
+    rmse0 = cat[f"rmse_{cap0}"]
+    report: Dict[str, float] = {}
+    for k, v in cat.items():
+        if not k.startswith("n_"):
+            report[k] = float(np.nanmean(v))
+    report["rmse_edge"] = float(np.nanmean(rmse0[rain])) if rain.any() else float("nan")
+    report["rmse_sunny"] = (
+        float(np.nanmean(rmse0[~rain])) if (~rain).any() else float("nan")
+    )
+    report["frames"] = float(n_frames)
+    if time_inference:
+        report["wall_s"] = wall
+        report["frames_per_sec_end_to_end"] = n_frames / wall
+    return report
+
+
+def format_report(cfg: ExperimentConfig, report: Dict[str, float]) -> str:
+    cap0, cap1 = (int(c) for c in cfg.data.max_distances[:2])
+    lines = [
+        f"==== max depth {cap0} ====",
+        f"RMSE: {report[f'rmse_{cap0}']:.4f} m (inverse space)",
+        f"MAE:  {report[f'mae_{cap0}']:.4f} m",
+        f"REL:  {report[f'rel_{cap0}']:.4f}",
+        f"edge (rain) RMSE: {report['rmse_edge']:.4f} m",
+        f"sunny RMSE:       {report['rmse_sunny']:.4f} m",
+    ]
+    if "iou" in report:
+        lines.append(f"IoU: {report['iou']:.4f}")
+    lines += [
+        f"==== max depth {cap1} ====",
+        f"RMSE: {report[f'rmse_{cap1}']:.4f} m",
+        f"MAE:  {report[f'mae_{cap1}']:.4f} m",
+        f"REL:  {report[f'rel_{cap1}']:.4f}",
+        "==== true-depth caps (north star) ====",
+    ]
+    for cap in (50, 70, 80):
+        if f"true_rmse_{cap}" in report:
+            lines.append(
+                f"cap {cap} m: RMSE {report[f'true_rmse_{cap}']:.4f} "
+                f"MAE {report[f'true_mae_{cap}']:.4f} "
+                f"REL {report[f'true_rel_{cap}']:.4f}"
+            )
+    if "frames_per_sec_end_to_end" in report:
+        lines.append(
+            f"frames: {int(report['frames'])}  end-to-end "
+            f"{report['frames_per_sec_end_to_end']:.2f} fps"
+        )
+    return "\n".join(lines)

@@ -56,11 +56,11 @@ def _kernel(q_ref, k_ref, out_ref, *, m_actual: int, scale: float,
 
     @pl.when(h == 0)
     def _():
-        out_ref[0, :] = smax
+        out_ref[0, 0, :] = smax
 
     @pl.when(h > 0)
     def _():
-        out_ref[0, :] = out_ref[0, :] + smax
+        out_ref[0, 0, :] = out_ref[0, 0, :] + smax
 
 
 def _scores_fwd_impl(q, k, num_heads: int, scale: float,
@@ -91,15 +91,17 @@ def _scores_fwd_impl(q, k, num_heads: int, scale: float,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_n), lambda bi, i, h: (bi, i),
+            # Singleton sublane axis keeps the (sublane, lane) block dims
+            # legal for any batch size (sublane block == array dim 1).
+            (1, 1, block_n), lambda bi, i, h: (bi, 0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qh, kh)
-    return out
+    return out[:, 0, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -85,8 +85,10 @@ def scale_by_diffgrad_norm(
         step_size = jnp.sqrt(bc2) / (bc1 + 1e-8)
 
         def direction(m, v, g, pg):
+            # Positive (gradient-like) direction; optax.scale_by_learning_rate
+            # downstream applies the -lr factor.
             dfc = jax.nn.sigmoid(jnp.abs(pg - g.astype(jnp.float32)))
-            return -step_size * (m * dfc) / (jnp.sqrt(v) + eps)
+            return step_size * (m * dfc) / (jnp.sqrt(v) + eps)
 
         new_updates = jax.tree.map(
             direction, new_exp_avg, new_exp_avg_sq, updates,

@@ -58,9 +58,14 @@ def masked_berhu(pred: jnp.ndarray, target: jnp.ndarray,
     mask = target > 0
     diff = jnp.abs(target - pred) * mask
     delta = thresh * jnp.max(diff)
-    l1_part = jnp.minimum(diff, delta)
-    l2_part = (jnp.maximum(diff * diff - delta * delta, 0.0) + delta * delta) / (
-        2.0 * jnp.maximum(delta, 1e-12)
+    # Reference's threshold() construction: strict inequalities, and the L1
+    # part is ZERO above delta (not clamped) while the L2 part is diff^2/2d
+    # above delta and zero below.
+    l1_part = jnp.where(diff < delta, diff, 0.0)
+    l2_part = jnp.where(
+        diff > delta,
+        diff * diff / (2.0 * jnp.maximum(delta, 1e-12)),
+        0.0,
     )
     return _masked_mean(l1_part + l2_part, mask.astype(jnp.float32))
 

@@ -1,0 +1,131 @@
+"""Jitted train/eval steps with microbatch gradient accumulation.
+
+TPU-native rework of the reference hot loop (runner.py:166-270): one jitted
+step consumes ``update_interval`` microbatches (a leading scan axis),
+accumulates gradients with ``lax.scan`` (runner.py:218-222's accumulation,
+minus the Python loop), averages, and applies diffGradNorm + OneCycle. AMP
+GradScaler is unnecessary in bf16 — activations are bf16, norms, losses,
+params and optimizer state are fp32.
+
+The GT min-pool pyramid (dataloader.py:255-257) is computed inside the step
+so the host ships only the full-res inverse-depth map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from camradepth_tpu.config import ExperimentConfig
+from camradepth_tpu.ops.pooling import minpool_sparse
+from camradepth_tpu.train.losses import multitask_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def build_gt(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Deep-supervision targets from the raw batch (pyramid on device)."""
+    gt_depth = batch["gt_depth"]
+    s3 = minpool_sparse(gt_depth)      # H/2
+    s2 = minpool_sparse(s3)            # H/4
+    return {
+        "depth": gt_depth,
+        "depth_stage4": s3,
+        "depth_stage3": s2,
+        "seg": batch.get("seg"),
+        "seg_inter": batch.get("seg_inter"),
+    }
+
+
+def make_train_step(
+    cfg: ExperimentConfig, model, tx: optax.GradientTransformation
+) -> Callable:
+    """Returns train_step(state, microbatches, rng) -> (state, metrics).
+
+    ``microbatches`` is a dict of arrays with leading axes
+    [update_interval, micro_batch, ...].
+    """
+
+    def loss_fn(params, micro, rng):
+        pred = model.apply(
+            {"params": params},
+            micro["features"],
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        gt = build_gt(micro)
+        return multitask_loss(pred, gt, cfg)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, microbatches, rng):
+        accum = jax.tree.leaves(microbatches)[0].shape[0]
+
+        def micro_step(grads_acc, inp):
+            i, micro = inp
+            step_rng = jax.random.fold_in(rng, i)
+            (_, metrics), grads = grad_fn(state.params, micro, step_rng)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return grads_acc, metrics
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        idx = jnp.arange(accum)
+        grads, metrics = jax.lax.scan(
+            micro_step, zeros, (idx, microbatches)
+        )
+        grads = jax.tree.map(lambda g: g / accum, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        mean_metrics = jax.tree.map(jnp.mean, metrics)
+        mean_metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            mean_metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(cfg: ExperimentConfig, model) -> Callable:
+    """eval_step(params, batch) -> metrics dict (no_grad val pass,
+    runner.py:273-350)."""
+
+    def eval_step(params, batch):
+        pred = model.apply(
+            {"params": params}, batch["features"], deterministic=True
+        )
+        gt = build_gt(batch)
+        _, metrics = multitask_loss(pred, gt, cfg)
+        return metrics
+
+    return eval_step
+
+
+def make_predict_step(cfg: ExperimentConfig, model) -> Callable:
+    """predict(params, features) -> model output dict (inference path)."""
+
+    def predict(params, features):
+        return model.apply(
+            {"params": params}, features, deterministic=True
+        )
+
+    return predict
+
+
+def init_state(
+    cfg: ExperimentConfig, model, tx: optax.GradientTransformation, rng
+) -> TrainState:
+    h, w = cfg.model.img_size
+    dummy = jnp.zeros((1, h, w, cfg.model.input_channels), jnp.float32)
+    variables = model.init({"params": rng}, dummy, deterministic=True)
+    params = variables["params"]
+    return TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))

@@ -1,0 +1,208 @@
+"""Training driver: epochs, validation, early stopping, checkpointing.
+
+TPU-native counterpart of the reference Trainer (runner.py:87-392):
+
+- one jitted train step consumes ``update_interval`` microbatches
+  (lax.scan gradient accumulation) — the reference's per-batch Python loop
+  with GradScaler becomes a single device execution per optimizer step;
+- the OneCycle schedule is step-indexed inside the optimizer (the reference
+  calls scheduler.step() per dataloader iteration after a warm gap,
+  runner.py:269-270; here the schedule advances once per optimizer step
+  with total_steps scaled accordingly);
+- validation is a jitted no-grad pass (runner.py:273-350);
+- early stopping + best-val checkpointing via Orbax with loss-in-filename
+  (runner.py:365-384);
+- scalars go to TensorBoard-compatible events + JSONL (utils/logging.py);
+- batches shard over the data axis of the mesh when one is provided.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camradepth_tpu.config import ExperimentConfig, num_epochs_for_steps
+from camradepth_tpu.data.pipeline import make_loaders
+from camradepth_tpu.models.camradepth import CamRaDepth
+from camradepth_tpu.train.diffgrad import diffgrad_norm
+from camradepth_tpu.train.schedule import onecycle
+from camradepth_tpu.train.step import (
+    TrainState,
+    init_state,
+    make_eval_step,
+    make_train_step,
+)
+from camradepth_tpu.utils import checkpoint as ckpt_util
+from camradepth_tpu.utils.logging import MetricWriter, create_run_dir
+
+_BATCH_KEYS = ("features", "gt_depth", "seg", "seg_inter")
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        loaders: Optional[Dict] = None,
+        run_dir: Optional[str] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.model = CamRaDepth(cfg.model)
+        self.loaders = loaders or make_loaders(
+            cfg.data, cfg.train.batch_size
+        )
+        self.mesh = mesh
+
+        steps_per_epoch = max(1, len(self.loaders["train"]))
+        self.num_epochs = num_epochs_for_steps(cfg)
+        opt_steps = max(
+            1, self.num_epochs * steps_per_epoch // cfg.train.update_interval
+        )
+        self.schedule = onecycle(
+            cfg.train.learning_rate,
+            total_steps=opt_steps,
+            pct_start=cfg.train.pct_start,
+            div_factor=cfg.train.div_factor,
+            final_div_factor=cfg.train.final_div_factor,
+        )
+        self.tx = diffgrad_norm(
+            self.schedule,
+            b1=cfg.train.betas[0],
+            b2=cfg.train.betas[1],
+            eps=cfg.train.eps,
+            weight_decay=cfg.train.weight_decay,
+        )
+        self.state = init_state(
+            cfg, self.model, self.tx, jax.random.PRNGKey(cfg.train.seed)
+        )
+        if cfg.train.checkpoint and cfg.train.load_ckpt:
+            self.load_checkpoint(cfg.train.checkpoint)
+
+        self._train_step = jax.jit(
+            make_train_step(cfg, self.model, self.tx), donate_argnums=(0,)
+        )
+        self._eval_step = jax.jit(make_eval_step(cfg, self.model))
+
+        self.run_dir = (
+            Path(run_dir)
+            if run_dir
+            else create_run_dir(
+                cfg.train.output_dir, cfg.train.arch_name, cfg.train.run_name
+            )
+        )
+        self.writer = MetricWriter(self.run_dir)
+        self.training_steps = 0
+        self.val_steps = 0
+
+    # ------------------------------------------------------------------
+    def load_checkpoint(self, path: str) -> None:
+        """Transfer-learning load: shape-matching partial params restore
+        (reference semantics, runner.py:124-132)."""
+        try:
+            restored = ckpt_util.restore_checkpoint(path, self.state)
+            self.state = restored
+            print(f"#### restored full train state from {path}")
+            return
+        except Exception:
+            pass
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore(Path(path).resolve())
+        saved_params = raw.get("params", raw) if isinstance(raw, dict) else raw
+        params, _ = ckpt_util.partial_restore_params(
+            saved_params, self.state.params
+        )
+        self.state = self.state._replace(params=params)
+        print(f"#### partial-restored params from {path}")
+
+    # ------------------------------------------------------------------
+    def _stack_microbatches(self, it):
+        accum = self.cfg.train.update_interval
+        mbs = []
+        for _ in range(accum):
+            b = next(it)
+            mbs.append({k: b[k] for k in _BATCH_KEYS if k in b})
+        return {k: np.stack([m[k] for m in mbs]) for k in mbs[0]}
+
+    def train_one_epoch(self, epoch: int) -> None:
+        cfg = self.cfg
+        it = iter(self.loaders["train"])
+        accum = cfg.train.update_interval
+        n_opt_steps = max(1, len(self.loaders["train"]) // accum)
+        rng = jax.random.PRNGKey(cfg.train.seed * 1000 + epoch)
+        t0 = time.perf_counter()
+        for i in range(n_opt_steps):
+            try:
+                micro = self._stack_microbatches(it)
+            except StopIteration:
+                break
+            micro = jax.device_put(micro)
+            self.state, metrics = self._train_step(
+                self.state, micro, jax.random.fold_in(rng, i)
+            )
+            self.training_steps += 1
+            if (
+                i % self.cfg.train.log_every == 0
+                or i == n_opt_steps - 1
+            ):
+                m = {k: float(v) for k, v in metrics.items()}
+                m["lr"] = float(self.schedule(self.training_steps))
+                m["steps_per_sec"] = (i + 1) / (time.perf_counter() - t0)
+                self.writer.scalars(m, self.training_steps, prefix="train/")
+                print(
+                    f"[epoch {epoch + 1}/{self.num_epochs} step {i + 1}/"
+                    f"{n_opt_steps}] loss {m['loss']:.5f} rmse "
+                    f"{m['rmse_m']:.3f}m lr {m['lr']:.2e}"
+                )
+
+    def evaluate(self) -> Dict[str, float]:
+        rows = []
+        for batch in self.loaders["val"]:
+            dev = {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS if k in batch}
+            metrics = self._eval_step(self.state.params, dev)
+            rows.append({k: float(v) for k, v in metrics.items()})
+        if not rows:
+            return {"loss": float("nan"), "rmse_m": float("nan")}
+        agg = {
+            k: float(np.nanmean([r[k] for r in rows])) for k in rows[0]
+        }
+        self.val_steps += 1
+        self.writer.scalars(agg, self.val_steps, prefix="val/")
+        return agg
+
+    def train(self) -> float:
+        cfg = self.cfg
+        best_eval = float("inf")
+        patience = 0
+        stop_after = cfg.train.stop_after or max(1, self.num_epochs - 4)
+        for epoch in range(self.num_epochs):
+            self.train_one_epoch(epoch)
+            val = self.evaluate()
+            print(
+                f"#### epoch {epoch + 1}: val loss {val['loss']:.5f} "
+                f"RMSE {val.get('rmse_m', float('nan')):.3f} m"
+            )
+            if val["loss"] < best_eval:
+                best_eval = val["loss"]
+                patience = 0
+                if cfg.train.save_model:
+                    path = ckpt_util.save_checkpoint(
+                        self.run_dir, self.state, epoch, best_eval
+                    )
+                    print(f"#### saved best checkpoint to {path}")
+            else:
+                patience += 1
+            if patience >= cfg.train.early_stopping_thresh:
+                print("#### early stopping")
+                break
+            if epoch + 1 >= stop_after:
+                # reference skips the final low-LR epochs (runner.py:382-384)
+                print("#### stop_after reached")
+                break
+        self.writer.close()
+        return best_eval

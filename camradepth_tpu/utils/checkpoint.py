@@ -1,0 +1,94 @@
+"""Orbax checkpointing with the reference's resume semantics.
+
+The reference saves {state_dict, optimizer, lr, steps} on val-loss
+improvement with the epoch+loss in the filename (runner.py:366-373) and on
+load partial-loads only shape-matching keys (utils.py:352-370). Here the
+TrainState pytree (params + full diffGradNorm state + step) checkpoints
+atomically through Orbax; :func:`partial_restore_params` reproduces the
+shape-matching transfer-learning load for params from any saved tree."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(run_dir: str | Path, state, epoch: int,
+                    eval_loss: float) -> Path:
+    """Write ckpt_epoch_<e>_loss_<l> under run_dir (async-safe, atomic)."""
+    path = Path(run_dir).resolve() / (
+        f"ckpt_epoch_{epoch + 1}_loss_{eval_loss:.7f}"
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+    return path
+
+
+def best_checkpoint(run_dir: str | Path) -> Optional[Path]:
+    """Lowest-loss checkpoint in a run dir (filename-encoded, like the
+    reference's best-ckpt convention)."""
+    run_dir = Path(run_dir)
+    best, best_loss = None, float("inf")
+    for p in run_dir.glob("ckpt_epoch_*_loss_*"):
+        m = re.match(r"ckpt_epoch_(\d+)_loss_([\d.]+)", p.name)
+        if m:
+            loss = float(m.group(2))
+            if loss < best_loss:
+                best, best_loss = p, loss
+    return best
+
+
+def restore_checkpoint(path: str | Path, target):
+    """Restore a full TrainState saved by :func:`save_checkpoint`."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).resolve(), target)
+
+
+def partial_restore_params(saved_params, target_params,
+                           verbose: bool = True) -> Tuple[Any, list]:
+    """Shape-matching partial load (reference
+    load_checkpoint_with_shape_match, utils.py:352-370): keys present in the
+    checkpoint with matching shapes are taken, everything else keeps the
+    freshly-initialized value. Returns (params, mismatches)."""
+    flat_saved = _flatten(saved_params)
+    flat_target, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    out = []
+    mismatches = []
+    for path, value in flat_target:
+        key = _path_str(path)
+        if key in flat_saved and tuple(np.shape(flat_saved[key])) == tuple(
+            np.shape(value)
+        ):
+            out.append(jax.numpy.asarray(flat_saved[key], value.dtype))
+        else:
+            reason = ("missing" if key not in flat_saved else
+                      f"shape {np.shape(flat_saved[key])} vs {np.shape(value)}")
+            mismatches.append((key, reason))
+            out.append(value)
+    if verbose:
+        for key, reason in mismatches:
+            print(f"#### partial restore: keeping init for {key} ({reason})")
+    return jax.tree_util.tree_unflatten(treedef, out), mismatches
+
+
+def _flatten(tree) -> dict:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {_path_str(path): v for path, v in flat}
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)

@@ -16,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the tiny-config train step takes minutes to
+# compile on CPU; cache hits make repeat suite runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/camradepth_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -1,0 +1,153 @@
+"""Data pipeline tests: channel assembly semantics, split contract, loader
+shapes — on synthetic artifacts (the reference's mini-dataset path is the
+de-facto fixture, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from camradepth_tpu.config import DataConfig
+from camradepth_tpu.data import channels as ch
+from camradepth_tpu.data import synthetic
+from camradepth_tpu.data.pipeline import BatchLoader, NuscenesFrames, make_loaders
+from camradepth_tpu.data.split import (
+    build_split_from_dir,
+    load_split,
+    rebase_split,
+    split_ranges,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("prepared_data")
+    split = synthetic.generate(d, num_frames=6, hw=(64, 128), seed=0)
+    return d, split
+
+
+class TestChannels:
+    def test_inverse_depth_roundtrip(self):
+        d = np.array([[0.0, 1.0, 50.0, 100.0, 120.0]])
+        enc = ch.encode_inverse_depth(d)
+        assert enc[0, 0] == 0.0
+        np.testing.assert_allclose(enc[0, 1], 0.99)
+        np.testing.assert_allclose(enc[0, 2], 0.5)
+        np.testing.assert_allclose(enc[0, 3], 0.0)  # exactly max -> 0 encode
+        np.testing.assert_allclose(enc[0, 4], 0.0)  # clipped to max
+        dec = ch.decode_inverse_depth(enc)
+        np.testing.assert_allclose(dec[0, 1:3], d[0, 1:3])
+
+    def test_bgr_normalization_quirk(self):
+        """The reference normalizes cv2-BGR with RGB-ordered stats
+        (dataloader.py:225-232); channel 0 must use mean 0.485."""
+        img = np.zeros((2, 2, 3), np.uint8)
+        out = ch.normalize_image(img)
+        np.testing.assert_allclose(out[0, 0, 0], -0.485 / 0.229, rtol=1e-5)
+        np.testing.assert_allclose(out[0, 0, 2], -0.406 / 0.225, rtol=1e-5)
+
+    def test_resize_order0_identity_and_half(self):
+        img = np.arange(16).reshape(4, 4)
+        np.testing.assert_array_equal(ch.resize_order0(img, (4, 4)), img)
+        half = ch.resize_order0(img, (2, 2))
+        # skimage/ndimage order-0 convention picks odd indices on /2
+        np.testing.assert_array_equal(half, img[1::2, 1::2])
+
+    def test_resize_order0_matches_scipy(self):
+        from scipy import ndimage
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (13, 17)).astype(np.float64)
+        out_shape = (7, 9)
+        got = ch.resize_order0(img, out_shape)
+        rr = (np.arange(out_shape[0]) + 0.5) * (13 / 7) - 0.5
+        cc = (np.arange(out_shape[1]) + 0.5) * (17 / 9) - 0.5
+        grid = np.meshgrid(rr, cc, indexing="ij")
+        want = ndimage.map_coordinates(img, grid, order=0, mode="nearest")
+        np.testing.assert_array_equal(got, want)
+
+    def test_feature_stack_seven_channels(self):
+        rng = np.random.default_rng(1)
+        h, w = 32, 64
+        arrays = {
+            "image": rng.integers(0, 255, (h, w, 3)).astype(np.uint8),
+            "radar": rng.uniform(0, 120, (h, w, 3)).astype(np.float32),
+            "rad_vel": (rng.uniform(size=(h, w)) < 0.1).astype(np.float32),
+            "gt": rng.uniform(0, 120, (h, w, 3)).astype(np.float32),
+            "mseg": rng.integers(0, 21, (h, w)).astype(np.int64),
+        }
+        cfg = DataConfig(image_dimension=(h, w))
+        out = ch.assemble_frame(arrays, cfg)
+        assert out["features"].shape == (h, w, 7)
+        # radar depth channel is clip/100, NOT inverted
+        np.testing.assert_allclose(
+            out["features"][..., 3],
+            np.clip(arrays["radar"][..., 0], 0, 100) / 100,
+            rtol=1e-6,
+        )
+        # gt IS inverse-encoded
+        valid = out["gt_depth"] > 0
+        assert valid.any()
+        orig = np.clip(arrays["gt"][..., 0], 0, 100)
+        # depths at exactly the cap encode to 0 (invalid), like the reference
+        sel = (orig > 0) & (orig < 100)
+        np.testing.assert_allclose(
+            out["gt_depth"][sel], ((100 - orig) / 100)[sel], rtol=1e-5
+        )
+        assert out["seg"].shape == (h, w)
+        assert out["seg_inter"].shape == (h // 2, w // 2)
+
+
+class TestSplit:
+    def test_build_and_load(self, synth_dir):
+        d, split_path = synth_dir
+        rows = load_split(split_path)
+        assert rows.shape == (6, 7)
+        rebuilt = build_split_from_dir(d)
+        assert rebuilt.shape == (6, 7)
+        assert sorted(r[0] for r in rebuilt) == sorted(r[0] for r in rows)
+
+    def test_rebase(self, synth_dir):
+        _, split_path = synth_dir
+        rows = load_split(split_path)
+        moved = rebase_split(rows, "/new/place")
+        assert moved[0][0].startswith("/new/place/")
+        assert moved.shape == rows.shape
+
+    def test_ranges(self):
+        tr, va, te = split_ranges(22375, (17902, 2237))
+        assert (len(tr), len(va), len(te)) == (17902, 2237, 2236)
+        assert te[0] == 20139  # reference test split start (README.md:23)
+
+
+class TestLoader:
+    def test_batches_and_padding(self, synth_dir):
+        d, split_path = synth_dir
+        cfg = DataConfig(image_dimension=(64, 128),
+                         split_path=str(split_path),
+                         train_val_split=(4, 1), num_workers=2)
+        loaders = make_loaders(cfg, batch_size=2)
+        train, val, test = loaders["train"], loaders["val"], loaders["test"]
+        assert len(train) == 2  # 4 frames, drop remainder
+        batches = list(train)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["features"].shape == (2, 64, 128, 7)
+        assert b["gt_depth"].shape == (2, 64, 128)
+        assert b["seg"].dtype == np.int32
+        assert b["valid"].tolist() == [1.0, 1.0]
+        # val: 1 frame into batch of 2 -> padded with valid mask
+        vb = list(val)
+        assert vb[0]["features"].shape[0] == 2
+        assert vb[0]["valid"].tolist() == [1.0, 0.0]
+        # test remainder = 1 frame
+        assert len(list(test)) == 1
+
+    def test_shuffle_reproducible_and_epoch_varying(self, synth_dir):
+        d, split_path = synth_dir
+        cfg = DataConfig(image_dimension=(64, 128),
+                         split_path=str(split_path),
+                         train_val_split=(6, 0), num_workers=2)
+        frames = NuscenesFrames(load_split(split_path), cfg)
+        dl = BatchLoader(frames, 2, shuffle=True, num_workers=2, seed=7)
+        e1 = [b["index"].tolist() for b in dl]
+        e2 = [b["index"].tolist() for b in dl]
+        assert e1 != e2  # epoch-dependent shuffle

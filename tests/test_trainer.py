@@ -1,0 +1,105 @@
+"""End-to-end trainer tests on synthetic data (tiny config):
+train -> val -> checkpoint -> restore -> transfer-learning partial load."""
+
+import numpy as np
+import pytest
+import jax
+
+from camradepth_tpu.config import (
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+    tiny_test_config,
+)
+from camradepth_tpu.data import synthetic
+from camradepth_tpu.data.pipeline import make_loaders
+from camradepth_tpu.train.trainer import Trainer
+from camradepth_tpu.utils import checkpoint as ckpt_util
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("prepared")
+    split = synthetic.generate(d, num_frames=8, hw=(64, 128), seed=1)
+    return str(split)
+
+
+def _cfg(synth, tmp_path, **train_kw):
+    cfg = tiny_test_config()
+    data = DataConfig(
+        image_dimension=(64, 128),
+        split_path=synth,
+        train_val_split=(6, 2),
+        num_workers=2,
+    )
+    train = TrainConfig(
+        batch_size=2,
+        desired_batch_size=4,
+        num_steps=None,
+        num_epochs=1,
+        learning_rate=1e-3,
+        output_dir=str(tmp_path / "out"),
+        save_model=True,
+        stop_after=10,
+        **train_kw,
+    )
+    return cfg.replace(data=data, train=train)
+
+
+class TestTrainer:
+    def test_train_eval_checkpoint_cycle(self, synth, tmp_path):
+        cfg = _cfg(synth, tmp_path)
+        tr = Trainer(cfg)
+        best = tr.train()
+        assert np.isfinite(best)
+        # best checkpoint exists and restores into a fresh trainer
+        ck = ckpt_util.best_checkpoint(tr.run_dir)
+        assert ck is not None
+        cfg2 = cfg.replace(
+            train=cfg.train.__class__(
+                **{
+                    **{f: getattr(cfg.train, f)
+                       for f in cfg.train.__dataclass_fields__},
+                    "checkpoint": str(ck),
+                    "load_ckpt": True,
+                }
+            )
+        )
+        tr2 = Trainer(cfg2)
+        a = jax.tree.leaves(tr.state.params)[0]
+        b = jax.tree.leaves(tr2.state.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_partial_restore_shape_mismatch(self, synth, tmp_path):
+        """Transfer learning across variants: a 7-channel checkpoint loads
+        into a 3-channel model keeping init for the mismatched patch embed
+        (reference utils.py:352-370 semantics)."""
+        cfg = _cfg(synth, tmp_path)
+        tr = Trainer(cfg)
+        # 3-channel model
+        model_kw = {f: getattr(cfg.model, f)
+                    for f in cfg.model.__dataclass_fields__}
+        model_kw["input_channels"] = 3
+        cfg3 = cfg.replace(model=ModelConfig(**model_kw))
+        tr3 = Trainer(cfg3)
+        params, mismatches = ckpt_util.partial_restore_params(
+            tr.state.params, tr3.state.params, verbose=False
+        )
+        keys = [k for k, _ in mismatches]
+        assert any("patch_embed1" in k for k in keys)
+        # matching keys copied exactly
+        flat_new = dict(
+            jax.tree_util.tree_flatten_with_path(params)[0]
+        )
+        flat_old = dict(
+            jax.tree_util.tree_flatten_with_path(tr.state.params)[0]
+        )
+        copied = [
+            k for k in flat_new
+            if "patch_embed1" not in str(k)
+        ]
+        assert copied
+        k0 = copied[0]
+        np.testing.assert_array_equal(
+            np.asarray(flat_new[k0]), np.asarray(flat_old[k0])
+        )
