@@ -89,20 +89,22 @@ class MixFFN(nn.Module):
 
 
 class GroupNorm_groups(nn.Module):
-    """GroupNorm with an explicit group count (fp32 stats, eps 1e-5)."""
+    """GroupNorm with an explicit group count (fp32 stats, eps 1e-5),
+    via the fused bandwidth-optimal kernel."""
 
     num_groups: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        from camradepth_tpu.ops.groupnorm import group_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(
+            x.astype(self.dtype), scale, bias, self.num_groups
+        )
 
 
 class MaxPoolAttention(nn.Module):

@@ -42,22 +42,22 @@ def _uniform_fan_in_bias(fan_in: int):
 
 class GroupNorm(nn.Module):
     """GroupNorm matching torch semantics: groups = C // divisor, eps 1e-5,
-    statistics in float32 (reference: nn.GroupNorm everywhere, divisor 16 —
-    args.py:37)."""
+    fp32 statistics over bf16 activations via the fused bandwidth-optimal
+    kernel (reference: nn.GroupNorm everywhere, divisor 16 — args.py:37)."""
 
     divisor: int = 16
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from camradepth_tpu.ops.groupnorm import group_norm
+
         c = x.shape[-1]
-        y = nn.GroupNorm(
-            num_groups=max(1, c // self.divisor),
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(
+            x.astype(self.dtype), scale, bias, max(1, c // self.divisor)
+        )
 
 
 class DropPath(nn.Module):

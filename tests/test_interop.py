@@ -1,0 +1,117 @@
+"""Checkpoint round-trip / golden-activation parity tests.
+
+Uses the independent torch mirror (tests/torch_mirror.py) whose state_dict
+matches the reference checkpoint format: converting its weights into the
+flax model must reproduce the forward outputs (BASELINE.json requires
+reference-weight round-trip)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from camradepth_tpu.config import ModelConfig, tiny_test_config
+from camradepth_tpu.interop.torch_convert import (
+    convert_state_dict,
+    flax_params_to_state_dict,
+    torch_key_to_flax_path,
+)
+from camradepth_tpu.models.camradepth import CamRaDepth
+from camradepth_tpu.utils.checkpoint import partial_restore_params
+from tests.torch_mirror import MirrorCamRaDepth
+
+
+def _tiny_model_cfg(**over):
+    cfg = tiny_test_config().model
+    kw = {f: getattr(cfg, f) for f in cfg.__dataclass_fields__}
+    kw.update(over)
+    return ModelConfig(**kw)
+
+
+def _forward_pair(model_cfg, seed=0, hw=(64, 128)):
+    tm = MirrorCamRaDepth(model_cfg).eval()
+    jx_model = CamRaDepth(model_cfg)
+    h, w = hw
+    x = np.random.default_rng(seed).standard_normal(
+        (1, h, w, model_cfg.input_channels)
+    ).astype(np.float32)
+    variables = jx_model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+        deterministic=True,
+    )
+    converted = convert_state_dict(tm.state_dict())
+    params, mismatches = partial_restore_params(
+        converted, variables["params"], verbose=False
+    )
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    j_out = jx_model.apply({"params": params}, jnp.asarray(x),
+                           deterministic=True)
+    return t_out, j_out, mismatches
+
+
+class TestKeyMapping:
+    def test_roundtrip_on_mirror_keys(self):
+        cfg = _tiny_model_cfg(supervised_seg=True, unsupervised_seg=True)
+        tm = MirrorCamRaDepth(cfg)
+        sd = tm.state_dict()
+        converted = convert_state_dict(sd)
+        back = flax_params_to_state_dict(converted)
+        assert set(back) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(
+                back[k], sd[k].numpy(), err_msg=k
+            )
+
+    def test_module_prefix_stripped(self):
+        p = torch_key_to_flax_path("module.dest_encoder.block2.3.attn.q.weight")
+        assert p == ("dest_encoder", "block2_3", "attn", "q", "kernel")
+
+
+class TestForwardParity:
+    def test_base_variant_parity(self):
+        cfg = _tiny_model_cfg(compute_dtype="float32", drop_path_rate=0.0)
+        t_out, j_out, mismatches = _forward_pair(cfg)
+        assert not mismatches, f"unconverted keys: {mismatches[:5]}"
+        want = t_out["depth"]["final_depth"].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(j_out["depth"]["final_depth"])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+        # intermediates too
+        for idx in (2, 3):
+            want_i = t_out["depth"]["intermediate_depths"][idx]
+            want_i = want_i.permute(0, 2, 3, 1).numpy()
+            got_i = np.asarray(j_out["depth"]["intermediate_depths"][idx])
+            np.testing.assert_allclose(got_i, want_i, rtol=1e-3, atol=2e-4)
+
+    def test_seg_variant_parity(self):
+        cfg = _tiny_model_cfg(
+            compute_dtype="float32", drop_path_rate=0.0,
+            supervised_seg=True, unsupervised_seg=True,
+        )
+        t_out, j_out, mismatches = _forward_pair(cfg, seed=1)
+        assert not mismatches
+        want = t_out["seg"]["final_seg"].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(j_out["seg"]["final_seg"])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+        want = t_out["depth"]["final_depth"].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(j_out["depth"]["final_depth"])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+    def test_pth_file_roundtrip(self, tmp_path):
+        """Save a reference-format .pth (with module. prefixes and the
+        {'state_dict': ...} wrapper) and load through the import path."""
+        from camradepth_tpu.interop.torch_convert import (
+            load_reference_checkpoint,
+        )
+
+        cfg = _tiny_model_cfg(compute_dtype="float32")
+        tm = MirrorCamRaDepth(cfg)
+        sd = {"module." + k: v for k, v in tm.state_dict().items()}
+        path = tmp_path / "ref.pth"
+        torch.save({"state_dict": sd, "lr": 6e-5}, path)
+        loaded = load_reference_checkpoint(str(path))
+        assert not any(k.startswith("module.") for k in loaded)
+        converted = convert_state_dict(loaded)
+        assert "dest_encoder" in converted
