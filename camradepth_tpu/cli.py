@@ -1,0 +1,230 @@
+"""Unified command-line interface.
+
+Single ``camradepth`` entry point replacing the reference's 11 script
+entrypoints + runner + visualization (SURVEY.md §7 item 9):
+
+  python -m camradepth_tpu.cli prep  --data-root ... --out ...
+  python -m camradepth_tpu.cli train --preset base --split ...
+  python -m camradepth_tpu.cli test  --preset base --split ... --checkpoint ...
+  python -m camradepth_tpu.cli viz   --preset base --split ... --checkpoint ...
+  python -m camradepth_tpu.cli bench
+
+The flag surface mirrors the reference argparse options (args.py:11-66)
+where they still make sense on TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+
+def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="base",
+                   choices=["base", "base_rgb", "supervised_seg",
+                            "unsupervised_seg", "sup_unsup_seg",
+                            "sup_unsup_seg_rgb"],
+                   help="published experiment preset (args.py:72-122)")
+    p.add_argument("--split", default=None, help="(N,7) split .npy path")
+    p.add_argument("--mini-dataset", action="store_true")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--output-dir", default="Output")
+    p.add_argument("--run-name", default="current")
+    p.add_argument("--save-model", action="store_true")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["bfloat16", "float32"])
+
+
+def _build_config(args):
+    from camradepth_tpu import config as C
+
+    cfg = C.preset(args.preset)
+    data_kw = {}
+    if args.split:
+        data_kw["split_path"] = args.split
+    if args.mini_dataset:
+        data_kw["mini_dataset"] = True
+    if data_kw:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
+    train_kw = {}
+    for flag, field in (("batch_size", "batch_size"),
+                        ("learning_rate", "learning_rate"),
+                        ("num_steps", "num_steps"),
+                        ("num_epochs", "num_epochs"),
+                        ("checkpoint", "checkpoint"),
+                        ("output_dir", "output_dir"),
+                        ("run_name", "run_name")):
+        v = getattr(args, flag)
+        if v is not None:
+            train_kw[field] = v
+    if args.save_model:
+        train_kw["save_model"] = True
+    if args.checkpoint:
+        train_kw["load_ckpt"] = True
+    if args.num_epochs is not None:
+        train_kw["num_steps"] = None
+    if train_kw:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+    if args.compute_dtype:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model,
+                                      compute_dtype=args.compute_dtype)
+        )
+    return cfg
+
+
+def _load_params(cfg, checkpoint: str):
+    """Load params from an Orbax checkpoint or a reference .pth."""
+    import jax
+    import jax.numpy as jnp
+
+    from camradepth_tpu.models.camradepth import CamRaDepth
+    from camradepth_tpu.utils import checkpoint as ck
+
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    dummy = jnp.zeros((1, h, w, cfg.model.input_channels))
+    init = jax.jit(
+        lambda k: model.init({"params": k}, dummy, deterministic=True)[
+            "params"
+        ]
+    )(jax.random.PRNGKey(0))
+    if checkpoint.endswith(".pth"):
+        from camradepth_tpu.interop.torch_convert import (
+            convert_state_dict,
+            load_reference_checkpoint,
+        )
+
+        sd = load_reference_checkpoint(checkpoint)
+        converted = convert_state_dict(sd)
+        params, _ = ck.partial_restore_params(converted, init)
+        return model, params
+    try:
+        state = ck.restore_checkpoint(checkpoint, None)
+        saved = state["params"] if isinstance(state, dict) and "params" in (
+            state
+        ) else state[0] if isinstance(state, (list, tuple)) else state
+    except Exception:
+        saved = ck.restore_checkpoint(checkpoint, None)
+    params, _ = ck.partial_restore_params(saved, init)
+    return model, params
+
+
+def cmd_prep(args) -> int:
+    from camradepth_tpu.dataprep.pipeline import ALL_STAGES, run_pipeline
+
+    try:
+        from nuscenes.nuscenes import NuScenes
+    except ImportError:
+        print(
+            "error: the 'prep' command needs the nuscenes-devkit "
+            "(not installed in this environment). Precomputed artifacts in "
+            "the reference format are consumed directly by 'train'/'test'.",
+            file=sys.stderr,
+        )
+        return 2
+    nusc = NuScenes(args.version, dataroot=args.data_root, verbose=False)
+    stages = tuple(args.stages.split(",")) if args.stages else ALL_STAGES
+    run_pipeline(nusc, args.out, stage_names=stages, mini=args.mini)
+    return 0
+
+
+def cmd_train(args) -> int:
+    from camradepth_tpu.train.trainer import Trainer
+
+    cfg = _build_config(args)
+    trainer = Trainer(cfg)
+    best = trainer.train()
+    print(f"best val loss: {best:.6f}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from camradepth_tpu.data.pipeline import make_loaders
+    from camradepth_tpu.evaluation.harness import evaluate, format_report
+
+    cfg = _build_config(args)
+    if not args.checkpoint:
+        print("error: --checkpoint required for test", file=sys.stderr)
+        return 2
+    model, params = _load_params(cfg, args.checkpoint)
+    loaders = make_loaders(cfg.data, batch_size=args.test_batch)
+    report = evaluate(cfg, model, params, loaders["test"])
+    print(format_report(cfg, report))
+    return 0
+
+
+def cmd_viz(args) -> int:
+    from camradepth_tpu.data.pipeline import make_loaders
+    from camradepth_tpu.viz import run_visualization
+
+    cfg = _build_config(args)
+    if not args.checkpoint:
+        print("error: --checkpoint required for viz", file=sys.stderr)
+        return 2
+    model, params = _load_params(cfg, args.checkpoint)
+    loaders = make_loaders(cfg.data, batch_size=args.test_batch)
+    n = run_visualization(cfg, model, params, loaders["test"] or
+                          loaders["val"], args.out, args.num_vis)
+    print(f"wrote {n} collages to {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="camradepth", description="TPU-native CamRaDepth framework"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("prep", help="offline data preparation (11 stages)")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--version", default="v1.0-trainval")
+    p.add_argument("--mini", action="store_true")
+    p.add_argument("--stages", default=None,
+                   help="comma list; default all")
+    p.set_defaults(fn=cmd_prep)
+
+    p = sub.add_parser("train", help="train a model variant")
+    _add_common_model_flags(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("test", help="test-split metric report")
+    _add_common_model_flags(p)
+    p.add_argument("--test-batch", type=int, default=8)
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("viz", help="prediction collages")
+    _add_common_model_flags(p)
+    p.add_argument("--out", default="viz_out")
+    p.add_argument("--num-vis", type=int, default=25)
+    p.add_argument("--test-batch", type=int, default=8)
+    p.set_defaults(fn=cmd_viz)
+
+    p = sub.add_parser("bench", help="headline throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -315,25 +315,29 @@ def lidar_maps(points: Dict[str, np.ndarray], downsample_scale: float = 2.0,
                y_cutoff: int = 34, h_im: int = 900, w_im: int = 1600
                ) -> Dict[str, np.ndarray]:
     """Min-depth raster of the accumulated cloud with flow / low-height /
-    in-box payloads (fuse_lidar.cal_depthMap_flow, :281-323)."""
+    in-box payloads (fuse_lidar.cal_depthMap_flow, :281-323). Uses the
+    native C++ scatter on the host (camradepth_tpu/native.py) — the offline
+    pipeline runs per-frame where JAX dispatch overhead would dominate."""
+    from camradepth_tpu.native import (
+        quantize_pixels_host,
+        raster_min_depth_host,
+    )
+
     h_out = int(h_im / downsample_scale)
     w_out = int(w_im / downsample_scale)
-    xi1, yi1, xq1, yq1 = quantize_points(
-        points["x1"], points["y1"], h_out, w_out, downsample_scale
+    pix, xq1, yq1 = quantize_pixels_host(
+        points["x1"], points["y1"], None, downsample_scale, h_out, w_out
     )
-    _, _, xq2, yq2 = quantize_points(
-        points["x2"], points["y2"], h_out, w_out, downsample_scale
+    _, xq2, yq2 = quantize_pixels_host(
+        points["x2"], points["y2"], None, downsample_scale, h_out, w_out
     )
-    pix = yi1 * w_out + xi1
     payload = {
         "flow": np.stack([xq2 - xq1, yq2 - yq1], axis=-1),
-        "low_h": points["low_h"].astype(np.float32),
-        "in_box": points["in_box"].astype(np.float32),
+        "low_h": points["low_h"].astype(np.float64),
+        "in_box": points["in_box"].astype(np.float64),
     }
-    depth_map, maps = raster_min_depth(
-        jnp.asarray(pix), jnp.asarray(points["depth1"]),
-        {k: jnp.asarray(v) for k, v in payload.items()},
-        h_out * w_out,
+    depth_map, maps = raster_min_depth_host(
+        pix, points["depth1"], payload, h_out * w_out
     )
 
     def grid(a):
