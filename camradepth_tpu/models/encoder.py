@@ -27,6 +27,7 @@ from flax import linen as nn
 from camradepth_tpu.models.layers import (
     DropPath,
     GroupNorm,
+    gelu_for_dtype,
     kaiming_out_init,
     trunc002_init,
 )
@@ -83,7 +84,7 @@ class MixFFN(nn.Module):
             dtype=self.dtype,
             name="norm2",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_for_dtype(x)
         x = _dense(self.out_features, True, "fc2", self.dtype)(x)
         return x
 
