@@ -1,0 +1,79 @@
+"""Hyperparameter search + profiling utility tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from camradepth_tpu.config import tiny_test_config
+from camradepth_tpu.train.search import (
+    apply_overrides,
+    random_search,
+    sample_config,
+)
+from camradepth_tpu.utils.profiling import StepTimer, flops_estimate, trace
+
+
+class TestSearch:
+    SPACES = {
+        "learning_rate": ([1e-5, 1e-3], "log"),
+        "batch_size": ([1, 3], "int"),
+        "pct_start": ([0.05, 0.3], "float"),
+        "model.drop_path_rate": ([0.0, 0.1, 0.2], "item"),
+    }
+
+    def test_sample_modes(self):
+        rng = np.random.default_rng(0)
+        s = sample_config(self.SPACES, rng)
+        assert 1e-5 <= s["learning_rate"] <= 1e-3
+        assert s["batch_size"] in (1, 2)
+        assert 0.05 <= s["pct_start"] <= 0.3
+        assert s["model.drop_path_rate"] in (0.0, 0.1, 0.2)
+
+    def test_apply_overrides_routes_trees(self):
+        cfg = tiny_test_config()
+        # keep desired_batch_size a multiple of batch_size
+        cfg = apply_overrides(
+            cfg,
+            {"learning_rate": 1e-4, "batch_size": 2,
+             "desired_batch_size": 2, "model.drop_path_rate": 0.2},
+        )
+        assert cfg.train.learning_rate == 1e-4
+        assert cfg.model.drop_path_rate == 0.2
+
+    def test_random_search_with_stub_runner(self):
+        cfg = tiny_test_config()
+        calls = []
+
+        def runner(c):
+            calls.append(c)
+            return abs(c.train.learning_rate - 3e-4)
+
+        spaces = {"learning_rate": ([1e-5, 1e-3], "log")}
+        best, best_loss, results = random_search(
+            cfg, spaces, num_trials=8, seed=1, trial_runner=runner
+        )
+        assert len(results) == 8
+        assert best_loss == min(r["val_loss"] for r in results)
+        assert best["learning_rate"] > 0
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            t.start()
+            t.stop(jnp.ones(()))
+        s = t.summary()
+        assert s["steps"] == 3
+        assert s["steps_per_sec"] > 0
+
+    def test_flops_estimate(self):
+        f = flops_estimate(lambda a, b: a @ b, jnp.ones((64, 64)),
+                           jnp.ones((64, 64)))
+        assert f is None or f > 0
+
+    def test_trace_noop(self, tmp_path):
+        with trace(str(tmp_path), enabled=False):
+            pass
+        with trace(str(tmp_path), enabled=True):
+            _ = jnp.ones((8, 8)).sum()
