@@ -79,8 +79,10 @@ def _build_config(args):
     return cfg
 
 
-def _load_params(cfg, checkpoint: str):
-    """Load params from an Orbax checkpoint or a reference .pth."""
+def _load_params(cfg, checkpoint: str, strict: bool = False):
+    """Load params from an Orbax checkpoint or a reference .pth. With
+    strict=True any missing/mismatched key aborts (used by export so a
+    config/checkpoint mismatch can't silently ship random weights)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,16 +105,19 @@ def _load_params(cfg, checkpoint: str):
 
         sd = load_reference_checkpoint(checkpoint)
         converted = convert_state_dict(sd)
-        params, _ = ck.partial_restore_params(converted, init)
-        return model, params
-    try:
+        params, mismatches = ck.partial_restore_params(converted, init)
+    else:
         state = ck.restore_checkpoint(checkpoint, None)
         saved = state["params"] if isinstance(state, dict) and "params" in (
             state
         ) else state[0] if isinstance(state, (list, tuple)) else state
-    except Exception:
-        saved = ck.restore_checkpoint(checkpoint, None)
-    params, _ = ck.partial_restore_params(saved, init)
+        params, mismatches = ck.partial_restore_params(saved, init)
+    if strict and mismatches:
+        raise ValueError(
+            f"checkpoint does not match the '{cfg.name}' config: "
+            f"{len(mismatches)} keys kept their fresh init, e.g. "
+            f"{mismatches[0]}. Pass the matching --preset."
+        )
     return model, params
 
 
@@ -176,6 +181,29 @@ def cmd_viz(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a trained checkpoint to the reference .pth format so a
+    reference-repo user can consume our weights (interop reverse path)."""
+    import torch
+
+    from camradepth_tpu.interop.torch_convert import (
+        flax_params_to_state_dict,
+    )
+
+    cfg = _build_config(args)
+    if not args.checkpoint:
+        print("error: --checkpoint required for export", file=sys.stderr)
+        return 2
+    _, params = _load_params(cfg, args.checkpoint, strict=True)
+    sd = {
+        k: torch.from_numpy(v.copy())
+        for k, v in flax_params_to_state_dict(params).items()
+    }
+    torch.save({"state_dict": sd, "lr": cfg.train.learning_rate}, args.out)
+    print(f"wrote {len(sd)} tensors to {args.out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
 
@@ -218,6 +246,12 @@ def main(argv=None) -> int:
     p.add_argument("--num-vis", type=int, default=25)
     p.add_argument("--test-batch", type=int, default=8)
     p.set_defaults(fn=cmd_viz)
+
+    p = sub.add_parser("export",
+                       help="export checkpoint to reference .pth format")
+    _add_common_model_flags(p)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

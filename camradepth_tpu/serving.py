@@ -1,0 +1,139 @@
+"""Streaming inference engine for production serving.
+
+The reference has no serving layer (SURVEY.md §1: "no serving layer");
+its test loop is a batch-1 Python loop with a host sync per frame
+(runner.py:409-420). This engine is the TPU-native deployment path:
+
+- fixed-shape batched forward, jitted once (tail batches are padded and
+  masked);
+- a pipeline thread overlaps host-side preprocessing/H2D of batch N+1 with
+  device compute of batch N (the device queue is async);
+- outputs are returned as decoded metric depth (or raw inverse encoding);
+- per-request latency / throughput counters built in.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Dict, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camradepth_tpu.config import ExperimentConfig
+
+
+class DepthEngine:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        model,
+        params,
+        batch_size: int = 8,
+        decode_depth: bool = True,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.decode_depth = decode_depth
+        h, w = cfg.model.img_size
+        self._in_shape = (batch_size, h, w, cfg.model.input_channels)
+
+        def fwd(p, x):
+            out = model.apply({"params": p}, x, deterministic=True)
+            depth = jnp.clip(out["depth"]["final_depth"][..., 0], 0.0, 1.0)
+            if decode_depth:
+                # inverse encoding -> meters (dataloader.py:243-245 inverse)
+                depth = cfg.data.max_depth * (1.0 - depth)
+            seg = out["seg"]["final_seg"]
+            return {
+                "depth": depth,
+                "seg": None if seg is None else jnp.argmax(seg, -1),
+            }
+
+        self._fwd = jax.jit(fwd)
+        self.frames_served = 0
+        self.batches_served = 0
+        self._t_start: Optional[float] = None
+
+    def warmup(self) -> None:
+        x = jnp.zeros(self._in_shape, jnp.float32)
+        out = self._fwd(self.params, x)
+        np.asarray(out["depth"][0, 0, 0])  # force completion
+
+    def infer_batch(self, features: np.ndarray) -> Dict[str, np.ndarray]:
+        """features: [b<=batch_size, H, W, C]; pads the tail internally."""
+        n = features.shape[0]
+        if n < self.batch_size:
+            pad = np.repeat(features[-1:], self.batch_size - n, axis=0)
+            features = np.concatenate([features, pad], axis=0)
+        out = self._fwd(self.params, jnp.asarray(features))
+        result = {"depth": np.asarray(out["depth"])[:n]}
+        if out["seg"] is not None:
+            result["seg"] = np.asarray(out["seg"])[:n]
+        if self._t_start is None:
+            self._t_start = time.perf_counter()
+        self.frames_served += n
+        self.batches_served += 1
+        return result
+
+    def infer_stream(
+        self,
+        frames: Iterable[np.ndarray],
+        prefetch: int = 2,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Stream per-frame feature stacks; yields per-frame results in
+        order while a pipeline thread keeps the device fed."""
+        q_in: queue.Queue = queue.Queue(maxsize=prefetch)
+        _SENTINEL = object()
+
+        def batcher():
+            buf = []
+            for f in frames:
+                buf.append(f)
+                if len(buf) == self.batch_size:
+                    q_in.put(np.stack(buf))
+                    buf = []
+            if buf:
+                q_in.put(np.stack(buf))
+            q_in.put(_SENTINEL)
+
+        t = threading.Thread(target=batcher, daemon=True)
+        t.start()
+        while True:
+            item = q_in.get()
+            if item is _SENTINEL:
+                break
+            out = self.infer_batch(item)
+            n = out["depth"].shape[0]
+            for i in range(n):
+                yield {k: v[i] for k, v in out.items()}
+
+    def stats(self) -> Dict[str, float]:
+        elapsed = (
+            time.perf_counter() - self._t_start if self._t_start else 0.0
+        )
+        return {
+            "frames": float(self.frames_served),
+            "batches": float(self.batches_served),
+            "elapsed_s": elapsed,
+            "frames_per_sec": (
+                self.frames_served / elapsed if elapsed > 0 else 0.0
+            ),
+        }
+
+
+def load_engine(
+    cfg: ExperimentConfig, checkpoint: str, batch_size: int = 8
+) -> DepthEngine:
+    """Engine from an Orbax checkpoint or a reference .pth."""
+    from camradepth_tpu.cli import _load_params
+
+    model, params = _load_params(cfg, checkpoint)
+    engine = DepthEngine(cfg, model, params, batch_size=batch_size)
+    engine.warmup()
+    return engine

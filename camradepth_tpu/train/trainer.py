@@ -43,6 +43,42 @@ from camradepth_tpu.utils.logging import MetricWriter, create_run_dir
 _BATCH_KEYS = ("features", "gt_depth", "seg", "seg_inter")
 
 
+def _snapshot_run(cfg: ExperimentConfig, run_dir: Path) -> None:
+    """Reproducibility snapshot per run (reference save_files copies the
+    source tree into the run dir, runner.py:34-84): the resolved config as
+    JSON, the git revision, and a copy of the model/train sources."""
+    import dataclasses
+    import json
+    import shutil
+    import subprocess
+
+    snap = run_dir / "project_files"
+    snap.mkdir(parents=True, exist_ok=True)
+    (snap / "config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+    )
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=Path(__file__).resolve().parents[2],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        (snap / "GIT_REVISION").write_text(rev + "\n")
+    except Exception:
+        pass
+    pkg = Path(__file__).resolve().parents[1]
+    for rel in ("models/camradepth.py", "models/encoder.py",
+                "models/layers.py", "train/step.py", "train/losses.py",
+                "train/diffgrad.py", "config.py", "data/channels.py"):
+        src = pkg / rel
+        if src.exists():
+            dst = snap / rel.replace("/", "__")
+            try:
+                shutil.copyfile(src, dst)
+            except OSError:
+                pass
+
+
 class Trainer:
     def __init__(
         self,
@@ -98,6 +134,7 @@ class Trainer:
         self.writer = MetricWriter(self.run_dir)
         self.training_steps = 0
         self.val_steps = 0
+        _snapshot_run(cfg, self.run_dir)
 
     # ------------------------------------------------------------------
     def load_checkpoint(self, path: str) -> None:
