@@ -136,7 +136,13 @@ def cmd_prep(args) -> int:
         return 2
     nusc = NuScenes(args.version, dataroot=args.data_root, verbose=False)
     stages = tuple(args.stages.split(",")) if args.stages else ALL_STAGES
-    run_pipeline(nusc, args.out, stage_names=stages, mini=args.mini)
+    flow_estimator = None
+    if args.flow == "lk":
+        from camradepth_tpu.ops.optical_flow import lk_flow
+
+        flow_estimator = lk_flow
+    run_pipeline(nusc, args.out, stage_names=stages, mini=args.mini,
+                 flow_estimator=flow_estimator)
     return 0
 
 
@@ -229,6 +235,9 @@ def main(argv=None) -> int:
     p.add_argument("--mini", action="store_true")
     p.add_argument("--stages", default=None,
                    help="comma list; default all")
+    p.add_argument("--flow", default="lk", choices=["lk", "none"],
+                   help="optical-flow estimator: built-in pyramidal LK or "
+                        "none (expects precomputed *_flow.npy, e.g. RAFT)")
     p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("train", help="train a model variant")

@@ -23,23 +23,13 @@ scores in HBM.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
-def maxpool_attention_scores(
-    q: jnp.ndarray, k: jnp.ndarray, num_heads: int, scale: float
-) -> jnp.ndarray:
-    """Head-summed max-pooled attention scores.
-
-    Args:
-      q: [B, N, C] query tokens (already projected).
-      k: [B, M, C] key tokens (already projected).
-      num_heads: head count h; C must be divisible by h.
-      scale: score scale, reference uses (C/h) ** -0.5.
-    Returns:
-      s: [B, N] with s[b,n] = sum_h max_m <q_bnh, k_bmh> * scale.
-    """
+def _scores_and_argmax(q, k, num_heads: int, scale: float):
     b, n, c = q.shape
     m = k.shape[1]
     d = c // num_heads
@@ -54,7 +44,60 @@ def maxpool_attention_scores(
         precision=jax.lax.Precision.HIGHEST,
     )
     smax = jnp.max(scores * jnp.float32(scale), axis=-1)  # [B, h, N]
-    return jnp.sum(smax, axis=1)  # [B, N]
+    amax = jnp.argmax(scores, axis=-1)  # [B, h, N]
+    return jnp.sum(smax, axis=1), amax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def maxpool_attention_scores(
+    q: jnp.ndarray, k: jnp.ndarray, num_heads: int, scale: float
+) -> jnp.ndarray:
+    """Head-summed max-pooled attention scores.
+
+    Args:
+      q: [B, N, C] query tokens (already projected).
+      k: [B, M, C] key tokens (already projected).
+      num_heads: head count h; C must be divisible by h.
+      scale: score scale, reference uses (C/h) ** -0.5.
+    Returns:
+      s: [B, N] with s[b,n] = sum_h max_m <q_bnh, k_bmh> * scale.
+
+    custom_vjp: autodiff of the max would keep the [B,h,N,M] score tensor
+    as a residual (216 MB fp32 for stage 1 at 416x800) — instead only the
+    argmax indices are saved and the backward is a pure gather for dq and
+    a scatter-add for dk, with no NxM tensor in either direction.
+    """
+    s, _ = _scores_and_argmax(q, k, num_heads, scale)
+    return s
+
+
+def _scores_fwd(q, k, num_heads, scale):
+    s, amax = _scores_and_argmax(q, k, num_heads, scale)
+    return s, (q, k, amax)
+
+
+def _scores_bwd(num_heads, scale, res, g):
+    q, k, amax = res
+    b, n, c = q.shape
+    m = k.shape[1]
+    d = c // num_heads
+    qh = q.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)  # [B,h,N,d]
+    kh = k.reshape(b, m, num_heads, d).transpose(0, 2, 1, 3)  # [B,h,M,d]
+    gs = (g[:, None, :] * jnp.float32(scale)).astype(jnp.float32)  # [B,h,N]
+    # dq[b,h,n,:] = gs[b,h,n] * k[b,h,amax[b,h,n],:]  (gather)
+    k_sel = jnp.take_along_axis(kh, amax[..., None], axis=2)  # [B,h,N,d]
+    dq = (gs[..., None] * k_sel).transpose(0, 2, 1, 3).reshape(b, n, c)
+    # dk[b,h,m,:] = sum_{n: amax=m} gs[b,h,n] * q[b,h,n,:]  (scatter-add)
+    contrib = gs[..., None] * qh.astype(jnp.float32)  # [B,h,N,d]
+    dk = jnp.zeros((b, num_heads, m, d), jnp.float32)
+    bidx = jnp.arange(b)[:, None, None]
+    hidx = jnp.arange(num_heads)[None, :, None]
+    dk = dk.at[bidx, hidx, amax].add(contrib)
+    dk = dk.transpose(0, 2, 1, 3).reshape(b, m, c)
+    return dq.astype(q.dtype), dk.astype(k.dtype)
+
+
+maxpool_attention_scores.defvjp(_scores_fwd, _scores_bwd)
 
 
 def maxpool_attention(

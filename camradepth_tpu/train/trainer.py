@@ -86,6 +86,7 @@ class Trainer:
         loaders: Optional[Dict] = None,
         run_dir: Optional[str] = None,
         mesh=None,
+        auto_resume: bool = False,
     ):
         self.cfg = cfg
         self.model = CamRaDepth(cfg.model)
@@ -134,7 +135,25 @@ class Trainer:
         self.writer = MetricWriter(self.run_dir)
         self.training_steps = 0
         self.val_steps = 0
+        self.start_epoch = 0
         _snapshot_run(cfg, self.run_dir)
+
+        if auto_resume:
+            # Preemption-safe resume (no reference equivalent — TPU jobs
+            # are preemptible): restore the full TrainState (params +
+            # diffGradNorm moments + step) from the newest checkpoint in
+            # run_dir and continue the epoch loop after it.
+            latest = ckpt_util.latest_checkpoint(self.run_dir)
+            if latest is not None:
+                self.state = ckpt_util.restore_checkpoint(latest, self.state)
+                import re as _re
+
+                m = _re.match(r"ckpt_epoch_(\d+)_", latest.name)
+                self.start_epoch = int(m.group(1)) if m else 0
+                self.training_steps = int(self.state.step)
+                print(f"#### auto-resumed from {latest.name} "
+                      f"(epoch {self.start_epoch}, "
+                      f"step {self.training_steps})")
 
     # ------------------------------------------------------------------
     def load_checkpoint(self, path: str) -> None:
@@ -217,7 +236,7 @@ class Trainer:
         best_eval = float("inf")
         patience = 0
         stop_after = cfg.train.stop_after or max(1, self.num_epochs - 4)
-        for epoch in range(self.num_epochs):
+        for epoch in range(self.start_epoch, self.num_epochs):
             self.train_one_epoch(epoch)
             val = self.evaluate()
             print(

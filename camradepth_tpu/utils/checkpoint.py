@@ -30,6 +30,17 @@ def save_checkpoint(run_dir: str | Path, state, epoch: int,
     return path
 
 
+def latest_checkpoint(run_dir: str | Path) -> Optional[Path]:
+    """Highest-epoch checkpoint in a run dir (preemption auto-resume)."""
+    run_dir = Path(run_dir)
+    best, best_epoch = None, -1
+    for p in run_dir.glob("ckpt_epoch_*_loss_*"):
+        m = re.match(r"ckpt_epoch_(\d+)_loss_([\d.]+)", p.name)
+        if m and int(m.group(1)) > best_epoch:
+            best, best_epoch = p, int(m.group(1))
+    return best
+
+
 def best_checkpoint(run_dir: str | Path) -> Optional[Path]:
     """Lowest-loss checkpoint in a run dir (filename-encoded, like the
     reference's best-ckpt convention)."""

@@ -95,3 +95,40 @@ class TestMaxPoolAttention:
         got_out = s[:, :, None] * vbar[:, None, :]
         want_out = out.permute(0, 2, 1).numpy()
         np.testing.assert_allclose(got_out, want_out, rtol=1e-4, atol=1e-5)
+
+
+class TestMaxPoolAttentionGrad:
+    def test_custom_vjp_matches_autodiff_oracle(self):
+        """The gather/scatter backward must equal autodiff of a plain
+        (residual-heavy) implementation."""
+        import jax
+
+        b, n, m, c, heads = 2, 12, 5, 8, 2
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, m, c)), jnp.float32)
+        scale = 0.7
+
+        def plain(q, k):
+            d = c // heads
+            qh = q.reshape(b, n, heads, d)
+            kh = k.reshape(b, m, heads, d)
+            scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * scale
+            return jnp.sum(jnp.max(scores, -1), axis=1)
+
+        from camradepth_tpu.ops.attention import maxpool_attention_scores
+
+        g = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+
+        def loss_custom(q, k):
+            return jnp.sum(maxpool_attention_scores(q, k, heads, scale) * g)
+
+        def loss_plain(q, k):
+            return jnp.sum(plain(q, k) * g)
+
+        dq_c, dk_c = jax.grad(loss_custom, argnums=(0, 1))(q, k)
+        dq_p, dk_p = jax.grad(loss_plain, argnums=(0, 1))(q, k)
+        np.testing.assert_allclose(np.asarray(dq_c), np.asarray(dq_p),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dk_c), np.asarray(dk_p),
+                                   rtol=1e-5, atol=1e-6)
