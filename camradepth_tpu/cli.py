@@ -31,6 +31,10 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mini-dataset", action="store_true")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--desired-batch-size", type=int, default=None,
+                   help="effective batch via gradient accumulation "
+                        "(args.py:31); defaults to --batch-size when that "
+                        "is overridden")
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--num-epochs", type=int, default=None)
@@ -53,7 +57,13 @@ def _build_config(args):
     if data_kw:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
     train_kw = {}
+    if args.batch_size is not None and getattr(
+        args, "desired_batch_size", None
+    ) is None:
+        # keep the accumulation invariant when only batch_size is given
+        train_kw["desired_batch_size"] = args.batch_size
     for flag, field in (("batch_size", "batch_size"),
+                        ("desired_batch_size", "desired_batch_size"),
                         ("learning_rate", "learning_rate"),
                         ("num_steps", "num_steps"),
                         ("num_epochs", "num_epochs"),

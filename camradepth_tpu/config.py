@@ -72,6 +72,11 @@ class ModelConfig:
     # encoder time); the kernel remains available for larger images where
     # score materialization would spill to HBM.
     use_pallas_attention: bool = False
+    # Rematerialize decoder stages in the backward pass (jax.checkpoint):
+    # trades ~15% extra decoder FLOPs for dropping the full-resolution
+    # activation residuals — enables whole-effective-batch training without
+    # gradient accumulation on a 16 GB chip.
+    remat_decoder: bool = False
 
     def __post_init__(self):
         for name in ("dims", "heads", "ff_expansion", "sr_ratios", "depths"):
@@ -178,8 +183,12 @@ class MeshConfig:
 
     data_axis: str = "data"
     fsdp_axis: str = "fsdp"
+    sp_axis: str = "sp"
     data_parallel: int = -1  # -1 = all available devices
     fsdp_parallel: int = 1
+    # shard the image H axis over this many chips (conv halo exchanges and
+    # GroupNorm reductions are inserted by GSPMD)
+    spatial_parallel: int = 1
 
 
 @dataclass(frozen=True)

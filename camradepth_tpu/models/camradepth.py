@@ -77,6 +77,14 @@ class CamRaDepth(nn.Module):
                 rate=cfg.dropout_rate, broadcast_dims=(1, 2)
             )(v, deterministic=deterministic)
 
+        # Optional backward rematerialization of the memory-heavy decoder
+        # stages (full-res residuals dominate training HBM).
+        Dec = (
+            nn.remat(Decoder, static_argnums=())
+            if cfg.remat_decoder
+            else Decoder
+        )
+
         # 1x1 skip convs (CamRaDepth.py:61-64, 109-112).
         enc1 = ConvLayer(cfg.dims[3], 1, 1, 0, dtype=dtype,
                          name="from_encoder_1")(lay_out[3])
@@ -88,17 +96,17 @@ class CamRaDepth(nn.Module):
                          name="from_encoder_4")(lay_out[0])
 
         # Depth decoder (CamRaDepth.py:115-149).
-        d = dropout2d(Decoder(mid, has_skip=True, dtype=dtype,
-                              name="depth_upsample_0")(enc1, enc2))
-        d = dropout2d(Decoder(mid, has_skip=True, dtype=dtype,
-                              name="depth_upsample_1")(d, enc3))
-        d = dropout2d(Decoder(mid, has_skip=True, dtype=dtype,
-                              name="depth_upsample_2")(d, enc4))
+        d = dropout2d(Dec(mid, has_skip=True, dtype=dtype,
+                          name="depth_upsample_0")(enc1, enc2))
+        d = dropout2d(Dec(mid, has_skip=True, dtype=dtype,
+                          name="depth_upsample_1")(d, enc3))
+        d = dropout2d(Dec(mid, has_skip=True, dtype=dtype,
+                          name="depth_upsample_2")(d, enc4))
         inter_depth_3 = DepthActivation(1, dtype=dtype,
                                         name="depth_activation_3")(d)
         d = jnp.concatenate([d, inter_depth_3], axis=-1)
 
-        d4 = dropout2d(Decoder(mid, dtype=dtype, name="depth_upsample_3")(d))
+        d4 = dropout2d(Dec(mid, dtype=dtype, name="depth_upsample_3")(d))
 
         seg_features = None
         sup_seg_map = None
@@ -110,7 +118,7 @@ class CamRaDepth(nn.Module):
 
         if use_seg:
             seg_features = dropout2d(
-                Decoder(mid, dtype=dtype, name="seg_upsample_0")(d)
+                Dec(mid, dtype=dtype, name="seg_upsample_0")(d)
             )
         if cfg.supervised_seg:
             seg_logits_inter = SegConv(cfg.num_classes, dtype=dtype,
@@ -137,13 +145,13 @@ class CamRaDepth(nn.Module):
 
         # Final stage with the raw input as skip (CamRaDepth.py:149).
         d5 = dropout2d(
-            Decoder(mid, has_skip=True, dtype=dtype,
-                    name="depth_upsample_4")(d4, x)
+            Dec(mid, has_skip=True, dtype=dtype,
+                name="depth_upsample_4")(d4, x)
         )
         if use_seg:
             seg_features = dropout2d(
-                Decoder(mid, has_skip=True, dtype=dtype,
-                        name="seg_upsample_1")(seg_features, x)
+                Dec(mid, has_skip=True, dtype=dtype,
+                    name="seg_upsample_1")(seg_features, x)
             )
         if cfg.supervised_seg:
             seg_logits_final = SegConv(cfg.num_classes, dtype=dtype,
