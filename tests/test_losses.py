@@ -104,3 +104,15 @@ class TestSmoothness:
         giy = (im[:, :, :-1, :] - im[:, :, 1:, :]).abs().mean(1, keepdim=True)
         want = ((gdx * torch.exp(-gix)).mean() + (gdy * torch.exp(-giy)).mean()).item()
         assert abs(got - want) < 1e-6
+
+
+class TestHuber:
+    def test_matches_torch(self):
+        pred, target = _rand_depth_pair(7)
+        got = float(
+            losses.masked_huber(jnp.asarray(pred), jnp.asarray(target))
+        )
+        p, t = torch.from_numpy(pred), torch.from_numpy(target)
+        m = t > 0
+        want = torch.nn.HuberLoss()(p[m], t[m]).item()
+        assert abs(got - want) < 1e-6

@@ -77,3 +77,25 @@ class TestProfiling:
             pass
         with trace(str(tmp_path), enabled=True):
             _ = jnp.ones((8, 8)).sum()
+
+
+class TestMetricWriter:
+    def test_scalars_jsonl_and_tb(self, tmp_path):
+        import json
+
+        from camradepth_tpu.utils.logging import MetricWriter, create_run_dir
+
+        run = create_run_dir(tmp_path, "Arch", "run")
+        assert run.name == "1"
+        run2 = create_run_dir(tmp_path, "Arch", "run")
+        assert run2.name == "2"  # auto-indexed like the reference
+
+        w = MetricWriter(run)
+        w.scalar("loss", 0.5, 1)
+        w.scalars({"a": 1.0, "b": 2.0}, 2, prefix="train/")
+        w.close()
+        lines = [json.loads(l) for l in
+                 (run / "metrics.jsonl").read_text().splitlines()]
+        assert lines[0]["tag"] == "loss" and lines[0]["value"] == 0.5
+        assert {l["tag"] for l in lines} == {"loss", "train/a", "train/b"}
+        assert list(run.glob("events.out.tfevents.*"))  # TB events written
