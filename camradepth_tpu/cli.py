@@ -43,6 +43,10 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save-model", action="store_true")
     p.add_argument("--compute-dtype", default=None,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--max-distances", default=None,
+                   help="comma list of metric caps in meters (reference "
+                        "default 100,50; caps are configurable per "
+                        "BASELINE.md)")
 
 
 def _build_config(args):
@@ -54,6 +58,10 @@ def _build_config(args):
         data_kw["split_path"] = args.split
     if args.mini_dataset:
         data_kw["mini_dataset"] = True
+    if getattr(args, "max_distances", None):
+        data_kw["max_distances"] = tuple(
+            float(v) for v in args.max_distances.split(",")
+        )
     if data_kw:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
     train_kw = {}

@@ -72,3 +72,8 @@ class TestCLIConfig:
         args = self._args(["--checkpoint", "/x/y.pth"])
         cfg = _build_config(args)
         assert cfg.train.load_ckpt
+
+    def test_max_distances_flag(self):
+        args = self._args(["--max-distances", "80,40"])
+        cfg = _build_config(args)
+        assert cfg.data.max_distances == (80.0, 40.0)
