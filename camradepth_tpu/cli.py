@@ -228,6 +228,40 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Random hyperparameter search (working equivalent of the reference's
+    TODO-stub Trainer.hyperparameters_tuning, runner.py:521-565): sample
+    from typed spaces, run short budgeted trials, rank by val loss."""
+    import json
+
+    from camradepth_tpu.train.search import random_search
+
+    cfg = _build_config(args)
+    # Trial budget: short trainings (num-steps per trial).
+    import dataclasses as dc
+
+    cfg = cfg.replace(
+        train=dc.replace(cfg.train, num_steps=args.trial_steps,
+                         save_model=False)
+    )
+    if args.space:
+        raw = json.loads(args.space)
+        spaces = {k: (tuple(v[0]), v[1]) for k, v in raw.items()}
+    else:
+        # reference-style default: LR log-space around the published 6e-5
+        spaces = {
+            "learning_rate": ((1e-5, 1e-3), "log"),
+            "weight_decay": ((1e-6, 1e-2), "log"),
+        }
+    best, best_loss, results = random_search(
+        cfg, spaces, num_trials=args.num_trials, seed=args.seed
+    )
+    for r in results:
+        print(json.dumps(r))
+    print(f"best config: {json.dumps(best)} (val loss {best_loss:.6f})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
 
@@ -279,6 +313,20 @@ def main(argv=None) -> int:
     _add_common_model_flags(p)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "search", help="random hyperparameter search (runner.py:521-565)"
+    )
+    _add_common_model_flags(p)
+    p.add_argument("--num-trials", type=int, default=10,
+                   help="reference default args.random_search_num_trials")
+    p.add_argument("--trial-steps", type=int, default=50,
+                   help="optimizer-step budget per trial")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--space", default=None,
+                   help='JSON {"field": [[lo,hi],"log|float|int|item"], …}; '
+                        "model./data. prefixes route to those config trees")
+    p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

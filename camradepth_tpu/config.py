@@ -153,6 +153,13 @@ class TrainConfig:
     # Deep-supervision loss weights [final, stage4, stage3, seg_final,
     # seg_inter] (runner.py:213-215).
     loss_weights: Tuple[float, float, float, float, float] = (1, 1, 1, 0.2, 0.2)
+    # The reference allocates weight 0.2 to an intermediate-seg loss but its
+    # model always returns intermediate_seg=None (CamRaDepth.py:171), so
+    # loss_seg_inter is 0 in every reference run (runner.py:198) — the
+    # weight only inflates the normalizing denominator. Default False is
+    # reference-exact; True turns on real stage-4 seg supervision (our
+    # model does expose the logits).
+    seg_inter_loss: bool = False
     seed: int = 0
     checkpoint: str | None = None
     load_ckpt: bool = False

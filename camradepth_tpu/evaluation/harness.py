@@ -94,24 +94,34 @@ def evaluate(
     report["frames"] = float(n_frames)
     if time_inference:
         report["wall_s"] = wall
+        report["time_per_frame_s"] = wall / max(1, n_frames)
         report["frames_per_sec_end_to_end"] = n_frames / wall
     return report
 
 
 def format_report(cfg: ExperimentConfig, report: Dict[str, float]) -> str:
+    """Reference report structure (runner.py:494-519): both cap blocks open
+    with the (identical) mean inference time, then RMSE/MAE/REL; the first
+    block additionally carries the sunny/edge split and — when the seg
+    branch is supervised — IoU (printed under the first cap only,
+    runner.py:507-509). Then our true-depth north-star caps."""
     cap0, cap1 = (int(c) for c in cfg.data.max_distances[:2])
-    lines = [
-        f"==== max depth {cap0} ====",
+    lines = [f"==== max depth {cap0} ===="]
+    if "time_per_frame_s" in report:
+        lines.append(f"inference time: {report['time_per_frame_s']:.6f} s")
+    lines += [
         f"RMSE: {report[f'rmse_{cap0}']:.4f} m (inverse space)",
+        f"sunny RMSE:       {report['rmse_sunny']:.4f} m",
+        f"edge (rain) RMSE: {report['rmse_edge']:.4f} m",
         f"MAE:  {report[f'mae_{cap0}']:.4f} m",
         f"REL:  {report[f'rel_{cap0}']:.4f}",
-        f"edge (rain) RMSE: {report['rmse_edge']:.4f} m",
-        f"sunny RMSE:       {report['rmse_sunny']:.4f} m",
     ]
     if "iou" in report:
         lines.append(f"IoU: {report['iou']:.4f}")
+    lines.append(f"==== max depth {cap1} ====")
+    if "time_per_frame_s" in report:
+        lines.append(f"inference time: {report['time_per_frame_s']:.6f} s")
     lines += [
-        f"==== max depth {cap1} ====",
         f"RMSE: {report[f'rmse_{cap1}']:.4f} m",
         f"MAE:  {report[f'mae_{cap1}']:.4f} m",
         f"REL:  {report[f'rel_{cap1}']:.4f}",

@@ -133,10 +133,16 @@ def multitask_loss(pred: dict, gt: dict, cfg) -> tuple[jnp.ndarray, dict]:
     sup = 1.0 if cfg.model.supervised_seg else 0.0
     if cfg.model.supervised_seg and pred["seg"]["final_seg"] is not None:
         l_seg = masked_focal_ce(pred["seg"]["final_seg"], gt["seg"]) * sup
+        # Reference-exact default: the reference model always returns
+        # intermediate_seg=None (CamRaDepth.py:171), so its loss_seg_inter
+        # is 0 in every run (runner.py:198) — w[4] only inflates the
+        # denominator. cfg.train.seg_inter_loss=True enables the real
+        # stage-4 supervision our model's logits make possible.
         l_seg_i = (
             masked_focal_ce(pred["seg"]["intermediate_seg"], gt["seg_inter"])
             * sup
-            if pred["seg"]["intermediate_seg"] is not None
+            if cfg.train.seg_inter_loss
+            and pred["seg"]["intermediate_seg"] is not None
             else jnp.float32(0.0)
         )
     else:

@@ -95,6 +95,16 @@ class Trainer:
         )
         self.mesh = mesh
 
+        if self.loaders.get("train") is None:
+            # mini_dataset sets effective_train_val_split=(0,0), which gives
+            # every frame to the test split (args.py:134-137) — the reference
+            # crashes deep in its loop here; fail up front with the cause.
+            raise ValueError(
+                "training requires a non-empty train split; the current "
+                "config assigns 0 frames to train (mini_dataset presets "
+                "route all frames to test — use 'camradepth test', or pass "
+                "a split with train frames)."
+            )
         steps_per_epoch = max(1, len(self.loaders["train"]))
         self.num_epochs = num_epochs_for_steps(cfg)
         opt_steps = max(
@@ -217,6 +227,11 @@ class Trainer:
                 )
 
     def evaluate(self) -> Dict[str, float]:
+        if self.loaders.get("val") is None:
+            raise ValueError(
+                "validation requires a non-empty val split; the current "
+                "config assigns 0 frames to val."
+            )
         rows = []
         for batch in self.loaders["val"]:
             dev = {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS if k in batch}

@@ -40,3 +40,23 @@ class TestEvaluate:
         assert np.isfinite(report["rmse_edge"])
         text = format_report(cfg, report)
         assert "max depth 100" in text and "north star" in text
+
+    def test_format_report_reference_structure(self):
+        """Mirror runner.py:494-519: mean inference time opens BOTH cap
+        blocks (:501,:516); IoU appears once, under the first cap only
+        (:507-509), before the second block starts."""
+        cfg = tiny_test_config()
+        report = {
+            f"{m}_{c}": 1.0
+            for m in ("rmse", "mae", "rel")
+            for c in (100, 50)
+        }
+        report.update(
+            rmse_edge=1.0, rmse_sunny=1.0, frames=6.0, iou=0.5,
+            time_per_frame_s=0.01, wall_s=0.06,
+            frames_per_sec_end_to_end=100.0,
+        )
+        text = format_report(cfg, report)
+        assert text.count("inference time:") == 2
+        assert text.count("IoU") == 1
+        assert text.index("IoU") < text.index("max depth 50")

@@ -99,3 +99,36 @@ class TestMetricWriter:
         assert lines[0]["tag"] == "loss" and lines[0]["value"] == 0.5
         assert {l["tag"] for l in lines} == {"loss", "train/a", "train/b"}
         assert list(run.glob("events.out.tfevents.*"))  # TB events written
+
+
+class TestSearchCLI:
+    def test_search_subcommand_wiring(self, monkeypatch, capsys):
+        """`camradepth search` routes flags into random_search: trial-step
+        budget lands in cfg.train.num_steps, --space JSON becomes typed
+        spaces (working replacement for the reference's TODO stub,
+        runner.py:521-565)."""
+        from camradepth_tpu import cli
+        from camradepth_tpu.train import search as search_mod
+
+        seen = {}
+
+        def fake(cfg, spaces, num_trials=0, seed=0):
+            seen.update(cfg=cfg, spaces=spaces, num_trials=num_trials)
+            return (
+                {"learning_rate": 1e-4},
+                0.5,
+                [{"overrides": {"learning_rate": 1e-4}, "val_loss": 0.5}],
+            )
+
+        monkeypatch.setattr(search_mod, "random_search", fake)
+        rc = cli.main([
+            "search", "--preset", "base", "--num-trials", "3",
+            "--trial-steps", "7",
+            "--space", '{"learning_rate": [[1e-5, 1e-3], "log"]}',
+        ])
+        assert rc == 0
+        assert seen["num_trials"] == 3
+        assert seen["cfg"].train.num_steps == 7
+        assert seen["cfg"].train.save_model is False
+        assert seen["spaces"] == {"learning_rate": ((1e-5, 1e-3), "log")}
+        assert "best config" in capsys.readouterr().out

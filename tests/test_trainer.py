@@ -124,3 +124,23 @@ class TestTrainer:
         m = jax.tree.leaves(resumed.state.opt_state)
         assert any(np.abs(np.asarray(x)).max() > 0 for x in m
                    if hasattr(x, 'shape') and np.size(x) > 1)
+
+    def test_empty_train_split_clear_error(self, synth, tmp_path):
+        """mini_dataset-style (0,0) splits must fail up front with a clear
+        message, not a TypeError on len(None) (the reference crashes deep
+        in its loop on the same degenerate split)."""
+        cfg = _cfg(synth, tmp_path)
+        loaders = {"train": None, "val": None, "test": object()}
+        with pytest.raises(ValueError, match="train split"):
+            Trainer(cfg, loaders=loaders, run_dir=str(tmp_path / "g1"))
+
+    def test_empty_val_split_clear_error(self, synth, tmp_path):
+        import dataclasses
+
+        cfg = _cfg(synth, tmp_path)
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, train_val_split=(8, 0))
+        )
+        t = Trainer(cfg, run_dir=str(tmp_path / "g2"))
+        with pytest.raises(ValueError, match="val split"):
+            t.evaluate()
