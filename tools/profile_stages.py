@@ -1,135 +1,213 @@
-"""Per-stage TPU timing of the flagship forward (batch 8, 416x800).
+"""Per-stage TPU timing of the flagship forward (bisection profiler).
 
-block_until_ready is unreliable through the axon tunnel (CLAUDE.md), so
-each stage is timed by folding K executions into one device program via
-lax.scan with an input perturbation, then dividing. Prints ms/frame per
-stage. Claims the TPU — do not run concurrently with other TPU jobs."""
+The axon tunnel hides per-op device traces, so this times individual
+modules the same way bench.py times the whole net: K iterations folded
+into ONE device execution via lax.scan with an input perturbation, so
+per-execution dispatch overhead amortizes away. Reports ms/frame and
+achieved TF/s per module at batch 8 and batch 1.
+
+Usage: python tools/profile_stages.py [--scan 16] [--batch 8]
+"""
 
 from __future__ import annotations
 
-import sys
+import argparse
+import json
 import time
-from pathlib import Path
-
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/camradepth_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-BATCH = 8
-K = 16
+def timed(fn, params, shapes, scan_len=16, dtypes=None):
+    """Time fn(params, *xs) folded scan_len times into one execution.
 
+    shapes: list of input shapes. Returns seconds per iteration.
+    """
+    if dtypes is None:
+        dtypes = [jnp.float32] * len(shapes)
 
-def timed(fn, *args, label=""):
-    """ms per execution of fn(*args) via scan folding."""
-
-    def many(eps, *a):
-        def body(c, e):
-            out = fn(*[x + e if isinstance(x, jnp.ndarray) and
-                       x.dtype != jnp.int32 else x for x in a[:1]],
-                     *a[1:])
-            leaves = [l for l in jax.tree.leaves(out)
-                      if hasattr(l, "mean")]
-            return c + sum(l.mean().astype(jnp.float32) for l in leaves), None
+    def many(p, xs, eps):
+        def body(carry, e):
+            out = fn(p, *[x + e.astype(x.dtype) for x in xs])
+            return carry + out, None
 
         s, _ = jax.lax.scan(body, jnp.float32(0), eps)
         return s
 
     manyj = jax.jit(many)
-    eps = jax.random.normal(jax.random.PRNGKey(2), (K,), jnp.bfloat16) * 1e-3
-    np.asarray(manyj(eps, *args))
-    t0 = time.perf_counter()
-    np.asarray(manyj(eps, *args))
-    ms = (time.perf_counter() - t0) / K * 1000.0
-    print(f"{label:32s} {ms / BATCH:7.3f} ms/frame ({ms:7.3f} ms/batch)")
-    return ms / BATCH
+    keys = jax.random.split(jax.random.PRNGKey(1), len(shapes))
+    xs = [
+        jax.random.normal(k, s, d) * 0.5
+        for k, s, d in zip(keys, shapes, dtypes)
+    ]
+    eps = (
+        jax.random.normal(jax.random.PRNGKey(2), (scan_len,), jnp.float32)
+        * 1e-3
+    )
+    np.asarray(manyj(params, xs, eps))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(manyj(params, xs, eps))
+        best = min(best, time.perf_counter() - t0)
+    return best / scan_len
+
+
+def conv3x3_flops(px, cin, cout):
+    return 2 * 9 * px * cin * cout
+
+
+def srb_flops(px, cin, mid=128):
+    w1, w2, w3 = int(mid * 0.75), int(mid * 0.5), mid
+    return (
+        conv3x3_flops(px, cin, w1)
+        + conv3x3_flops(px, cin + w1, w2)
+        + conv3x3_flops(px, cin + w1 + w2, w3)
+    )
+
+
+def da_flops(px, cin, iter_ch=32):
+    return conv3x3_flops(px, cin, iter_ch) + conv3x3_flops(px, iter_ch, 1)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scan", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--trace", default="", help="also dump a jax.profiler trace here")
+    args = ap.parse_args()
+
     from camradepth_tpu.config import preset
     from camradepth_tpu.models.camradepth import CamRaDepth
     from camradepth_tpu.models.encoder import SimplifiedTransformer
-    from camradepth_tpu.models.layers import (
-        ConvLayer, Decoder, DepthActivation,
-    )
+    from camradepth_tpu.models.layers import Decoder, DepthActivation
+    from camradepth_tpu.ops.resize import upsample_bicubic_x2
 
-    cfg = preset("base").model
-    dt = jnp.bfloat16
-    model = CamRaDepth(cfg)
-    h, w = cfg.img_size
-    x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, h, w, 7), dt)
-    params = jax.jit(
-        lambda k: model.init({"params": k},
-                             jnp.zeros((1, h, w, 7)), deterministic=True)[
-            "params"
-        ]
-    )(jax.random.PRNGKey(0))
+    cfg = preset("base")
+    mc = cfg.model
+    H, W = mc.img_size
+    B = args.batch
+    results = {}
 
-    total = timed(
-        lambda v: model.apply({"params": params}, v, deterministic=True)[
-            "depth"]["final_depth"],
-        x, label="TOTAL forward",
-    )
+    def run(name, module_or_fn, shapes, flops, method="module",
+            dtypes=None, extra_kw=None):
+        if method == "module":
+            m = module_or_fn
+            pr = jax.jit(
+                lambda k, xs: m.init({"params": k}, *xs, **(extra_kw or {}))[
+                    "params"
+                ]
+            )
+            keys = jax.random.split(jax.random.PRNGKey(0), len(shapes))
+            xs0 = [
+                jnp.zeros(s, d)
+                for s, d in zip(
+                    shapes, dtypes or [jnp.float32] * len(shapes)
+                )
+            ]
+            params = pr(jax.random.PRNGKey(0), xs0)
 
-    enc = SimplifiedTransformer(
-        dims=cfg.dims, num_heads=cfg.heads, mlp_ratios=cfg.ff_expansion,
-        sr_ratios=cfg.sr_ratios, depths=cfg.depths,
-        drop_path_rate=0.0, qkv_bias=cfg.qkv_bias,
-        divisor=cfg.groupnorm_divisor, use_pallas=False, dtype=dt,
-    )
-    ep = params["dest_encoder"]
-    timed(lambda v: enc.apply({"params": ep}, v, deterministic=True),
-          x, label="encoder")
+            def fn(p, *xs):
+                out = m.apply({"params": p}, *xs, **(extra_kw or {}))
+                if isinstance(out, dict):
+                    out = out["depth"]["final_depth"]
+                if isinstance(out, (list, tuple)):
+                    out = out[0]
+                return out.astype(jnp.float32).mean()
 
-    # decoder stage shapes (flagship): /32 13x25x256 ... full res
-    shapes = {
-        "enc1": (BATCH, h // 32, w // 32, cfg.dims[3]),
-        "enc2": (BATCH, h // 16, w // 16, cfg.dims[2]),
-        "enc3": (BATCH, h // 8, w // 8, cfg.dims[1]),
-        "enc4": (BATCH, h // 4, w // 4, cfg.dims[0]),
-    }
-    t = {k: jax.random.normal(jax.random.PRNGKey(i), s, dt)
-         for i, (k, s) in enumerate(shapes.items())}
-    mid = cfg.mid_channels
-
-    def stage(name, mod, inp, extra=None):
-        p = params[name]
-        if extra is not None:
-            timed(lambda v: mod.apply({"params": p}, v, extra),
-                  inp, label=name)
         else:
-            timed(lambda v: mod.apply({"params": p}, v), inp, label=name)
+            params = None
+            f = module_or_fn
 
-    stage("depth_upsample_0", Decoder(mid, has_skip=True, dtype=dt),
-          t["enc1"], t["enc2"])
-    d1 = jax.random.normal(jax.random.PRNGKey(10),
-                           (BATCH, h // 16, w // 16, mid), dt)
-    stage("depth_upsample_1", Decoder(mid, has_skip=True, dtype=dt),
-          d1, t["enc3"])
-    d2 = jax.random.normal(jax.random.PRNGKey(11),
-                           (BATCH, h // 8, w // 8, mid), dt)
-    stage("depth_upsample_2", Decoder(mid, has_skip=True, dtype=dt),
-          d2, t["enc4"])
-    d3 = jax.random.normal(jax.random.PRNGKey(12),
-                           (BATCH, h // 4, w // 4, mid), dt)
-    stage("depth_activation_3", DepthActivation(1, dtype=dt), d3)
-    d3c = jax.random.normal(jax.random.PRNGKey(13),
-                            (BATCH, h // 4, w // 4, mid + 1), dt)
-    stage("depth_upsample_3", Decoder(mid, dtype=dt), d3c)
-    d4 = jax.random.normal(jax.random.PRNGKey(14),
-                           (BATCH, h // 2, w // 2, mid), dt)
-    stage("depth_activation_4", DepthActivation(1, dtype=dt), d4)
-    d4c = jax.random.normal(jax.random.PRNGKey(15),
-                            (BATCH, h // 2, w // 2, mid + 1), dt)
-    stage("depth_upsample_4", Decoder(mid, has_skip=True, dtype=dt),
-          d4c, x)
-    d5 = jax.random.normal(jax.random.PRNGKey(16),
-                           (BATCH, h, w, mid), dt)
-    stage("depth_activation_5", DepthActivation(1, dtype=dt), d5)
+            def fn(p, *xs):
+                return f(*xs).astype(jnp.float32).mean()
+
+        sec = timed(fn, params, shapes, args.scan, dtypes)
+        ms_frame = sec * 1000 / B
+        tfs = flops * B / sec / 1e12 if flops else 0.0
+        results[name] = {"ms_per_frame": round(ms_frame, 3),
+                         "tf_per_s": round(tfs, 1)}
+        print(f"{name:28s} {ms_frame:7.3f} ms/frame   {tfs:7.1f} TF/s",
+              flush=True)
+
+    # ---- full model ----
+    model = CamRaDepth(mc)
+    px_full, px_h2, px_h4 = H * W, H * W // 4, H * W // 16
+    total_dec_flops = (
+        srb_flops(px_full, 136) + srb_flops(px_h2, 129)
+        + srb_flops(px_h4, 192) + srb_flops(px_h4 // 4, 256)
+        + srb_flops(px_h4 // 16, 416)
+        + da_flops(px_full, 128) + da_flops(px_h2, 129) + da_flops(px_h4, 128)
+    )
+    run("full_forward", model, [(B, H, W, 7)], None,
+        extra_kw={"deterministic": True})
+
+    # ---- encoder only ----
+    enc = SimplifiedTransformer(
+        dims=mc.dims, num_heads=mc.heads, mlp_ratios=mc.ff_expansion,
+        sr_ratios=mc.sr_ratios, depths=mc.depths,
+        drop_path_rate=mc.drop_path_rate, qkv_bias=mc.qkv_bias,
+        divisor=mc.groupnorm_divisor, use_pallas=mc.use_pallas_attention,
+        dtype=jnp.bfloat16,
+    )
+    run("encoder", enc, [(B, H, W, 7)], None,
+        extra_kw={"deterministic": True})
+
+    # ---- decoder stages ----
+    bf = jnp.bfloat16
+    run("dec4_full_res(136->SRB)",
+        Decoder(128, has_skip=True, dtype=bf),
+        [(B, H // 2, W // 2, 129), (B, H, W, 7)],
+        srb_flops(px_full, 136), dtypes=[bf, bf])
+    run("dec3_half_res(129->SRB)",
+        Decoder(128, dtype=bf),
+        [(B, H // 4, W // 4, 129)],
+        srb_flops(px_h2, 129), dtypes=[bf])
+    run("dec2_quarter(192->SRB)",
+        Decoder(128, has_skip=True, dtype=bf),
+        [(B, H // 8, W // 8, 128), (B, H // 4, W // 4, 64)],
+        srb_flops(px_h4, 192), dtypes=[bf, bf])
+    run("dec01_small", Decoder(128, has_skip=True, dtype=bf),
+        [(B, H // 16, W // 16, 128), (B, H // 8, W // 8, 128)],
+        srb_flops(px_h4 // 4, 256), dtypes=[bf, bf])
+    run("DA5_full_res(128->32->1)", DepthActivation(1, dtype=bf),
+        [(B, H, W, 128)], da_flops(px_full, 128), dtypes=[bf])
+    run("DA4_half_res", DepthActivation(1, dtype=bf),
+        [(B, H // 2, W // 2, 129)], da_flops(px_h2, 129), dtypes=[bf])
+    run("upsample_x2@208x400x129", upsample_bicubic_x2,
+        [(B, H // 2, W // 2, 129)], 0, method="fn", dtypes=[bf])
+
+    # ---- batch 1 ----
+    B = 1
+    run("full_forward_b1", model, [(1, H, W, 7)], None,
+        extra_kw={"deterministic": True})
+    run("encoder_b1", enc, [(1, H, W, 7)], None,
+        extra_kw={"deterministic": True})
+    run("dec4_b1", Decoder(128, has_skip=True, dtype=bf),
+        [(1, H // 2, W // 2, 129), (1, H, W, 7)],
+        srb_flops(px_full, 136), dtypes=[bf, bf])
+
+    print(json.dumps({"theoretical_decoder_gflops_per_frame":
+                      total_dec_flops / 1e9, **results}))
+
+    if args.trace:
+        model_j = jax.jit(
+            lambda p, x: model.apply(
+                {"params": p}, x, deterministic=True
+            )["depth"]["final_depth"]
+        )
+        x = jnp.zeros((args.batch, H, W, 7))
+        params = jax.jit(
+            lambda k: model.init({"params": k}, x[:1],
+                                 deterministic=True)["params"]
+        )(jax.random.PRNGKey(0))
+        np.asarray(model_j(params, x))
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                np.asarray(model_j(params, x))
+        print("trace written to", args.trace)
 
 
 if __name__ == "__main__":
