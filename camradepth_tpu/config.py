@@ -77,6 +77,14 @@ class ModelConfig:
     # activation residuals — enables whole-effective-batch training without
     # gradient accumulation on a 16 GB chip.
     remat_decoder: bool = False
+    # Use the Pallas single-pass bicubic upsample in the decoder on TPU
+    # (ops/resize_pallas.py; bit-exact vs the XLA path in bf16, and
+    # differentiable — its VJP reuses the XLA transpose). Off by
+    # default: in-graph, the custom-call's forced operand layouts break
+    # XLA's concat-into-conv fusion and cost more in relayout copies
+    # (~2 ms/frame measured) than the kernel saves standalone (0.6 ->
+    # 0.51 ms). Kept for experimentation and large-image regimes.
+    use_pallas_resize: bool = False
 
     def __post_init__(self):
         for name in ("dims", "heads", "ff_expansion", "sr_ratios", "depths"):

@@ -79,10 +79,14 @@ class CamRaDepth(nn.Module):
 
         # Optional backward rematerialization of the memory-heavy decoder
         # stages (full-res residuals dominate training HBM).
-        Dec = (
+        DecCls = (
             nn.remat(Decoder, static_argnums=())
             if cfg.remat_decoder
             else Decoder
+        )
+        import functools
+        Dec = functools.partial(
+            DecCls, use_pallas_resize=cfg.use_pallas_resize
         )
 
         # 1x1 skip convs (CamRaDepth.py:61-64, 109-112).

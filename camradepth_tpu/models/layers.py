@@ -158,10 +158,18 @@ class Decoder(nn.Module):
     mid_channels: int = 128
     has_skip: bool = False
     dtype: Dtype = jnp.bfloat16
+    use_pallas_resize: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None):
-        x = upsample_bicubic_x2(x)
+        if self.use_pallas_resize:
+            from camradepth_tpu.ops.resize_pallas import (
+                upsample_bicubic_x2_auto,
+            )
+
+            x = upsample_bicubic_x2_auto(x)
+        else:
+            x = upsample_bicubic_x2(x)
         if self.has_skip:
             assert skip is not None
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
