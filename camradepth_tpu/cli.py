@@ -154,13 +154,23 @@ def cmd_prep(args) -> int:
         return 2
     nusc = NuScenes(args.version, dataroot=args.data_root, verbose=False)
     stages = tuple(args.stages.split(",")) if args.stages else ALL_STAGES
-    flow_estimator = None
+    from camradepth_tpu.dataprep.adapters import (
+        make_flow_estimator,
+        make_seg_estimator,
+    )
+
     if args.flow == "lk":
         from camradepth_tpu.ops.optical_flow import lk_flow
 
         flow_estimator = lk_flow
+    else:
+        flow_estimator = make_flow_estimator(
+            args.flow, ckpt=args.flow_ckpt
+        )
+    seg_estimator = make_seg_estimator(args.seg, ckpt=args.seg_ckpt)
     run_pipeline(nusc, args.out, stage_names=stages, mini=args.mini,
-                 flow_estimator=flow_estimator)
+                 flow_estimator=flow_estimator,
+                 seg_estimator=seg_estimator)
     return 0
 
 
@@ -296,9 +306,21 @@ def main(argv=None) -> int:
     p.add_argument("--mini", action="store_true")
     p.add_argument("--stages", default=None,
                    help="comma list; default all")
-    p.add_argument("--flow", default="lk", choices=["lk", "none"],
-                   help="optical-flow estimator: built-in pyramidal LK or "
-                        "none (expects precomputed *_flow.npy, e.g. RAFT)")
+    p.add_argument("--flow", default="lk",
+                   choices=["lk", "none", "raft", "torchscript"],
+                   help="optical-flow estimator: built-in pyramidal LK, a "
+                        "RAFT TorchScript export (--flow-ckpt), or none "
+                        "(expects precomputed *_flow.npy)")
+    p.add_argument("--flow-ckpt", default="",
+                   help="TorchScript file for --flow raft/torchscript "
+                        "(reference scripts/cal_flow.py:18-21)")
+    p.add_argument("--seg", default="none",
+                   choices=["none", "torchscript", "panoptic-deeplab"],
+                   help="semantic-seg estimator: a Panoptic-DeepLab-style "
+                        "TorchScript export (--seg-ckpt) or none (expects "
+                        "precomputed *_mseg.npy; scripts/semantic_seg.py)")
+    p.add_argument("--seg-ckpt", default="",
+                   help="TorchScript file for --seg")
     p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("train", help="train a model variant")
