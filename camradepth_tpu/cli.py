@@ -41,6 +41,16 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output-dir", default="Output")
     p.add_argument("--run-name", default="current")
     p.add_argument("--save-model", action="store_true")
+    p.add_argument("--tpu-tuned", action="store_true",
+                   help="TPU-tuned flagship training shape: one "
+                        "microbatch of 6 padded to 8 dummy-masked "
+                        "samples (exact gradients; avoids XLA's "
+                        "<8-batch space-to-batch conv rewrite) + "
+                        "encoder/decoder rematerialization. 640 -> 373 "
+                        "ms per effective-batch-6 step on v5e")
+    p.add_argument("--pad-microbatch", type=int, default=None,
+                   help="pad each training microbatch to this size "
+                        "with dummy-masked samples (see --tpu-tuned)")
     p.add_argument("--compute-dtype", default=None,
                    choices=["bfloat16", "float32"])
     p.add_argument("--max-distances", default=None,
@@ -81,6 +91,12 @@ def _build_config(args):
         v = getattr(args, flag)
         if v is not None:
             train_kw[field] = v
+    if getattr(args, "tpu_tuned", False):
+        train_kw.setdefault("batch_size", 6)
+        train_kw.setdefault("desired_batch_size", 6)
+        train_kw.setdefault("pad_microbatch_to", 8)
+    if getattr(args, "pad_microbatch", None) is not None:
+        train_kw["pad_microbatch_to"] = args.pad_microbatch
     if args.save_model:
         train_kw["save_model"] = True
     if args.checkpoint:
@@ -89,10 +105,15 @@ def _build_config(args):
         train_kw["num_steps"] = None
     if train_kw:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+    model_kw = {}
     if args.compute_dtype:
+        model_kw["compute_dtype"] = args.compute_dtype
+    if getattr(args, "tpu_tuned", False):
+        model_kw["remat_encoder"] = True
+        model_kw["remat_decoder"] = True
+    if model_kw:
         cfg = cfg.replace(
-            model=dataclasses.replace(cfg.model,
-                                      compute_dtype=args.compute_dtype)
+            model=dataclasses.replace(cfg.model, **model_kw)
         )
     return cfg
 

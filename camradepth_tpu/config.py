@@ -77,6 +77,15 @@ class ModelConfig:
     # activation residuals — enables whole-effective-batch training without
     # gradient accumulation on a 16 GB chip.
     remat_decoder: bool = False
+    # Rematerialize encoder transformer blocks in the backward pass —
+    # their ratio-8 MixFFN hiddens are the second-largest training
+    # memory consumer; recompute costs ~2 ms/frame.
+    remat_encoder: bool = False
+    # Rematerialize only the low-resolution decoder stages (up to
+    # quarter resolution) — a few hundred MB of residuals for ~0.4 ms
+    # of recompute; used to fit whole-batch-6 training alongside
+    # remat_encoder without paying full-decoder recompute.
+    remat_decoder_small: bool = False
     # Use the Pallas single-pass bicubic upsample in the decoder on TPU
     # (ops/resize_pallas.py; bit-exact vs the XLA path in bf16, and
     # differentiable — its VJP reuses the XLA transpose). Off by
@@ -168,6 +177,13 @@ class TrainConfig:
     # reference-exact; True turns on real stage-4 seg supervision (our
     # model does expose the logits).
     seg_inter_loss: bool = False
+    # Pad each training microbatch with dummy samples up to this size.
+    # XLA:TPU space-to-batches convs with batch < 8 (~2.5x slower);
+    # dummies are exact no-ops for every masked loss term (zero depth
+    # GT, ignore-index seg labels), so gradients are unchanged. The
+    # recommended flagship TPU setting is batch_size=6 (update_interval
+    # 1) + pad_microbatch_to=8 + remat_encoder.
+    pad_microbatch_to: int | None = None
     seed: int = 0
     checkpoint: str | None = None
     load_ckpt: bool = False

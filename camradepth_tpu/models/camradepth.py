@@ -65,6 +65,7 @@ class CamRaDepth(nn.Module):
             qkv_bias=cfg.qkv_bias,
             divisor=cfg.groupnorm_divisor,
             use_pallas=cfg.use_pallas_attention,
+            remat_blocks=cfg.remat_encoder,
             dtype=dtype,
             name="dest_encoder",
         )
@@ -79,14 +80,24 @@ class CamRaDepth(nn.Module):
 
         # Optional backward rematerialization of the memory-heavy decoder
         # stages (full-res residuals dominate training HBM).
+        import functools
         DecCls = (
             nn.remat(Decoder, static_argnums=())
             if cfg.remat_decoder
             else Decoder
         )
-        import functools
         Dec = functools.partial(
             DecCls, use_pallas_resize=cfg.use_pallas_resize
+        )
+        # Low-resolution stages (<= quarter res) optionally remat
+        # independently of the expensive full-res stages.
+        DecSmallCls = (
+            nn.remat(Decoder, static_argnums=())
+            if (cfg.remat_decoder or cfg.remat_decoder_small)
+            else Decoder
+        )
+        DecSmall = functools.partial(
+            DecSmallCls, use_pallas_resize=cfg.use_pallas_resize
         )
 
         # 1x1 skip convs (CamRaDepth.py:61-64, 109-112).
@@ -100,12 +111,12 @@ class CamRaDepth(nn.Module):
                          name="from_encoder_4")(lay_out[0])
 
         # Depth decoder (CamRaDepth.py:115-149).
-        d = dropout2d(Dec(mid, has_skip=True, dtype=dtype,
-                          name="depth_upsample_0")(enc1, enc2))
-        d = dropout2d(Dec(mid, has_skip=True, dtype=dtype,
-                          name="depth_upsample_1")(d, enc3))
-        d = dropout2d(Dec(mid, has_skip=True, dtype=dtype,
-                          name="depth_upsample_2")(d, enc4))
+        d = dropout2d(DecSmall(mid, has_skip=True, dtype=dtype,
+                               name="depth_upsample_0")(enc1, enc2))
+        d = dropout2d(DecSmall(mid, has_skip=True, dtype=dtype,
+                               name="depth_upsample_1")(d, enc3))
+        d = dropout2d(DecSmall(mid, has_skip=True, dtype=dtype,
+                               name="depth_upsample_2")(d, enc4))
         inter_depth_3 = DepthActivation(1, dtype=dtype,
                                         name="depth_activation_3")(d)
         d = jnp.concatenate([d, inter_depth_3], axis=-1)

@@ -238,6 +238,7 @@ class SimplifiedTransformer(nn.Module):
     qkv_bias: bool = True
     divisor: int = 16
     use_pallas: bool = False
+    remat_blocks: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -263,8 +264,19 @@ class SimplifiedTransformer(nn.Module):
             )(x)
             b, h, w, c = x.shape
             tok = x.reshape(b, h * w, c)
+            # Optional backward rematerialization: encoder residuals
+            # (notably the ratio-8 MixFFN hiddens) are the second
+            # largest training-memory consumer after the decoder. The
+            # functional nn.remat form closes over the static (h, w)
+            # and deterministic flags so only tensors cross the
+            # checkpoint boundary.
+            def run_block(mdl, t, _hw=(h, w), _det=deterministic):
+                return mdl(t, _hw, deterministic=_det)
+
+            if self.remat_blocks:
+                run_block = nn.remat(run_block)
             for j in range(self.depths[i]):
-                tok = Block(
+                blk = Block(
                     self.dims[i],
                     self.num_heads[i],
                     mlp_ratio=self.mlp_ratios[i],
@@ -275,7 +287,8 @@ class SimplifiedTransformer(nn.Module):
                     use_pallas=self.use_pallas,
                     dtype=self.dtype,
                     name=f"block{i + 1}_{j}",
-                )(tok, (h, w), deterministic=deterministic)
+                )
+                tok = run_block(blk, tok)
             cur += self.depths[i]
             x = tok.reshape(b, h, w, c)
             outs.append(x)

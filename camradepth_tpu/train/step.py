@@ -13,7 +13,7 @@ so the host ships only the full-res inverse-depth map.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,34 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+
+
+def pad_microbatch(
+    micro: Dict[str, jnp.ndarray], target: int
+) -> Dict[str, jnp.ndarray]:
+    """Pad a microbatch with dummy samples up to ``target``.
+
+    XLA:TPU rewrites convolutions with batch < 8 through its
+    space-to-batch converter, whose pad/transpose plumbing makes the
+    small-microbatch train step ~2.5x slower than the same math at
+    batch 8 (measured on v5e; the b>=8 inference graph keeps natural
+    [B,H,W,C] conv shapes). Dummy samples are exact no-ops for every
+    loss term: depth losses mask on gt > 0 (zero-filled) and the focal
+    CE masks on ignore_index=255 (the seg fill), so both the loss
+    numerators and the mask denominators are untouched — gradients are
+    identical to the unpadded step.
+    """
+    def pad(name, a):
+        mb = a.shape[0]
+        if a.ndim == 0 or mb >= target:
+            return a
+        widths = [(0, target - mb)] + [(0, 0)] * (a.ndim - 1)
+        fill = 255 if name.startswith("seg") else 0
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return {
+        k: (v if v is None else pad(k, v)) for k, v in micro.items()
+    }
 
 
 def build_gt(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -45,15 +73,25 @@ def build_gt(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 def make_train_step(
-    cfg: ExperimentConfig, model, tx: optax.GradientTransformation
+    cfg: ExperimentConfig, model, tx: optax.GradientTransformation,
+    unroll: Optional[int] = None,
 ) -> Callable:
     """Returns train_step(state, microbatches, rng) -> (state, metrics).
 
     ``microbatches`` is a dict of arrays with leading axes
-    [update_interval, micro_batch, ...].
+    [update_interval, micro_batch, ...]. ``unroll`` unrolls the
+    gradient-accumulation scan (default: fully unrolled — inside a
+    while loop XLA pins loop-invariant layouts and the microbatch
+    graph runs below its free-standing speed).
     """
+    if unroll is None:
+        unroll = cfg.train.update_interval
+
+    pad_to = cfg.train.pad_microbatch_to
 
     def loss_fn(params, micro, rng):
+        if pad_to:
+            micro = pad_microbatch(micro, pad_to)
         pred = model.apply(
             {"params": params},
             micro["features"],
@@ -70,6 +108,13 @@ def make_train_step(
 
         def micro_step(grads_acc, inp):
             i, micro = inp
+            # Serialize unrolled microbatches: the barrier makes this
+            # microbatch's forward depend on the previous accumulator,
+            # so XLA cannot overlap their activation liveness (which
+            # OOMs at full resolution) while layouts stay free.
+            micro, grads_acc = jax.lax.optimization_barrier(
+                (micro, grads_acc)
+            )
             step_rng = jax.random.fold_in(rng, i)
             (_, metrics), grads = grad_fn(state.params, micro, step_rng)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
@@ -80,7 +125,8 @@ def make_train_step(
         )
         idx = jnp.arange(accum)
         grads, metrics = jax.lax.scan(
-            micro_step, zeros, (idx, microbatches)
+            micro_step, zeros, (idx, microbatches),
+            unroll=min(unroll, accum) if unroll else 1,
         )
         grads = jax.tree.map(lambda g: g / accum, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -1,14 +1,15 @@
-"""Trace the jitted train step on the TPU and dump per-op attribution."""
+"""Measure effective-batch-6 training as 1 microbatch of 6 + remat."""
 import sys, time; sys.path.insert(0, '/root/repo')
 import jax, jax.numpy as jnp, numpy as np
-import optax
 from camradepth_tpu.config import preset
 from camradepth_tpu.models.camradepth import CamRaDepth
 from camradepth_tpu.train.step import make_train_step, init_state
 from camradepth_tpu.train.diffgrad import diffgrad_norm
 from camradepth_tpu.train.schedule import onecycle
+import dataclasses
 
 cfg = preset("base")
+cfg = cfg.replace(model=dataclasses.replace(cfg.model, remat_decoder=True, remat_encoder=True))
 mc = cfg.model
 H, W = mc.img_size
 model = CamRaDepth(mc)
@@ -19,16 +20,15 @@ rng = jax.random.PRNGKey(0)
 state = init_state(cfg, model, tx, rng)
 step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
-ACC, MB = 3, 2
+ACC, MB = 1, 6
 micro = {
     "features": jax.random.normal(rng, (ACC, MB, H, W, 7), jnp.float32),
     "gt_depth": jnp.abs(jax.random.normal(rng, (ACC, MB, H, W), jnp.float32)) * 0.1,
 }
-print("compiling train step...", flush=True)
-t0 = time.perf_counter()
+print("compiling b6x1 remat...", flush=True)
 state, m = step(state, micro, rng)
 np.asarray(m["loss"])
-print(f"compiled+first in {time.perf_counter()-t0:.1f}s", flush=True)
+print("compiled", flush=True)
 for _ in range(2):
     state, m = step(state, micro, rng)
 np.asarray(m["loss"])
@@ -37,9 +37,5 @@ K = 5
 for _ in range(K):
     state, m = step(state, micro, rng)
 np.asarray(m["loss"])
-print(f"step time: {(time.perf_counter()-t0)/K*1000:.1f} ms", flush=True)
-with jax.profiler.trace("/tmp/trace_train"):
-    for _ in range(2):
-        state, m = step(state, micro, rng)
-    np.asarray(m["loss"])
-print("TRACE DONE", flush=True)
+print(f"step time b6x1: {(time.perf_counter()-t0)/K*1000:.1f} ms", flush=True)
+print("DONE", flush=True)
