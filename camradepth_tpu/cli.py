@@ -328,10 +328,11 @@ def main(argv=None) -> int:
     p.add_argument("--stages", default=None,
                    help="comma list; default all")
     p.add_argument("--flow", default="lk",
-                   choices=["lk", "none", "raft", "torchscript"],
+                   choices=["lk", "none", "jax-raft", "raft", "torchscript"],
                    help="optical-flow estimator: built-in pyramidal LK, a "
-                        "RAFT TorchScript export (--flow-ckpt), or none "
-                        "(expects precomputed *_flow.npy)")
+                        "RAFT TorchScript export (--flow-ckpt), the native "
+                        "JAX RAFT fed an official .pth (jax-raft), or "
+                        "none (expects precomputed *_flow.npy)")
     p.add_argument("--flow-ckpt", default="",
                    help="TorchScript file for --flow raft/torchscript "
                         "(reference scripts/cal_flow.py:18-21)")

@@ -154,15 +154,68 @@ def seg_classmap_from_torchscript(
     return estimator
 
 
+def jax_raft_estimator(
+    ckpt: Union[str, Path],
+    iters: int = 20,
+) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
+    """TPU-native RAFT flow: load an *official* RAFT .pth state_dict
+    (raft-things/raft-kitti, the checkpoints scripts/cal_flow.py uses)
+    into the clean-room JAX implementation
+    (camradepth_tpu.models.raft) and wrap it in the pipeline's
+    ``flow_estimator(im1, im2) -> [H,W,2]`` contract. Runs jitted on
+    the default JAX backend — the TPU when available."""
+    torch = _require_torch()
+    import jax
+    import jax.numpy as jnp
+
+    from camradepth_tpu.models.raft import (
+        RAFT,
+        load_torch_raft_state_dict,
+    )
+
+    state = torch.load(str(ckpt), map_location="cpu")
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    params = load_torch_raft_state_dict(
+        {k: v.numpy() if hasattr(v, "numpy") else v
+         for k, v in state.items()}
+    )
+    model = RAFT(iters=iters)
+    run = jax.jit(
+        lambda a, b: model.apply({"params": params}, a, b)
+    )
+
+    def estimator(im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
+        h, w = im1.shape[:2]
+        ph = (8 - h % 8) % 8
+        pw = (8 - w % 8) % 8
+        a = np.pad(im1, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        b = np.pad(im2, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        flow = run(
+            jnp.asarray(a, jnp.float32)[None],
+            jnp.asarray(b, jnp.float32)[None],
+        )
+        return np.asarray(flow)[0, :h, :w].astype(np.float32)
+
+    return estimator
+
+
 def make_flow_estimator(kind: str, ckpt: str = "", **kw):
     """Factory used by the CLI: 'lk' (built-in pyramidal Lucas-Kanade),
+    'jax-raft' (official .pth into the native JAX RAFT),
     'torchscript'/'raft' (TorchScript export), or 'none'."""
     if kind in ("none", ""):
         return None
     if kind == "lk":
-        from camradepth_tpu.ops.optical_flow import lk_flow_estimator
+        from camradepth_tpu.ops.optical_flow import lk_flow
 
-        return lk_flow_estimator(**kw)
+        return lk_flow
+    if kind == "jax-raft":
+        if not ckpt:
+            raise ValueError(
+                f"--flow {kind} requires --flow-ckpt <official RAFT .pth>"
+            )
+        return jax_raft_estimator(ckpt, **kw)
     if kind in ("torchscript", "raft"):
         if not ckpt:
             raise ValueError(
