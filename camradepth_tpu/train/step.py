@@ -80,12 +80,14 @@ def make_train_step(
 
     ``microbatches`` is a dict of arrays with leading axes
     [update_interval, micro_batch, ...]. ``unroll`` unrolls the
-    gradient-accumulation scan (default: fully unrolled — inside a
-    while loop XLA pins loop-invariant layouts and the microbatch
-    graph runs below its free-standing speed).
+    gradient-accumulation scan; measured on v5e the unrolled and loop
+    forms run at the same speed (639.7 vs 640 ms at 2x3 — the
+    small-batch cost is XLA's space-to-batch conv rewrite, not loop
+    layouts; see TrainConfig.pad_microbatch_to for the actual fix), so
+    the default stays the loop for ~3x faster compiles.
     """
     if unroll is None:
-        unroll = cfg.train.update_interval
+        unroll = 1
 
     pad_to = cfg.train.pad_microbatch_to
 

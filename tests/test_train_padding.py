@@ -78,3 +78,45 @@ def test_pad_microbatch_fills():
     assert float(out["features"][2:].sum()) == 0.0
     assert float(out["gt_depth"][2:].sum()) == 0.0  # depth mask: gt > 0
     assert int(out["seg"][2:].min()) == 255  # focal CE ignore_index
+
+
+def test_padded_step_under_mesh():
+    """The padding transform composes with SPMD sharding: the same
+    padded step runs under a data x fsdp mesh with the batch sharded,
+    matching the single-device padded result."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfgp, model, tx = _setup(4)
+    mc = cfgp.model
+    H, W = mc.img_size
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfgp, model, tx, rng)
+    micro = {
+        "features": jax.random.normal(
+            rng, (1, 2, H, W, mc.input_channels), jnp.float32
+        ),
+        "gt_depth": jnp.abs(
+            jax.random.normal(rng, (1, 2, H, W), jnp.float32)
+        )
+        * 0.1,
+    }
+    step = make_train_step(cfgp, model, tx)
+    ref_state, ref_m = jax.jit(step)(state, micro, rng)
+
+    devs = np.array(jax.devices()[:2]).reshape(2)
+    mesh = Mesh(devs, ("data",))
+    msharding = NamedSharding(mesh, P(None, "data"))
+    sharded = jax.jit(
+        step, in_shardings=(None, msharding, None)
+    )
+    sh_state, sh_m = sharded(state, micro, rng)
+    np.testing.assert_allclose(
+        float(ref_m["loss"]), float(sh_m["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(sh_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )

@@ -1,45 +1,102 @@
-"""Trace the jitted train step on the TPU and dump per-op attribution."""
-import sys, time; sys.path.insert(0, '/root/repo')
-import jax, jax.numpy as jnp, numpy as np
-import optax
+"""Profile the jitted train step on the TPU.
+
+Measures steady-state step time for the flagship training
+configurations and optionally dumps a device trace:
+
+  python tools/profile_train.py            # reference shape: 2 x 3 accum
+  python tools/profile_train.py --tuned    # batch 6 padded to 8, remats
+  python tools/profile_train.py --trace /tmp/trace_train
+
+Round-2 measurements (v5e): 640 ms reference shape, 372.6 ms tuned
+(the difference is XLA's space-to-batch rewrite of batch<8 convs;
+see TrainConfig.pad_microbatch_to).
+"""
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from camradepth_tpu.config import preset
 from camradepth_tpu.models.camradepth import CamRaDepth
-from camradepth_tpu.train.step import make_train_step, init_state
 from camradepth_tpu.train.diffgrad import diffgrad_norm
 from camradepth_tpu.train.schedule import onecycle
+from camradepth_tpu.train.step import init_state, make_train_step
 
-cfg = preset("base")
-mc = cfg.model
-H, W = mc.img_size
-model = CamRaDepth(mc)
-sched = onecycle(cfg.train.learning_rate, total_steps=100,
-                 div_factor=cfg.train.div_factor)
-tx = diffgrad_norm(sched, weight_decay=cfg.train.weight_decay)
-rng = jax.random.PRNGKey(0)
-state = init_state(cfg, model, tx, rng)
-step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
-ACC, MB = 3, 2
-micro = {
-    "features": jax.random.normal(rng, (ACC, MB, H, W, 7), jnp.float32),
-    "gt_depth": jnp.abs(jax.random.normal(rng, (ACC, MB, H, W), jnp.float32)) * 0.1,
-}
-print("compiling train step...", flush=True)
-t0 = time.perf_counter()
-state, m = step(state, micro, rng)
-np.asarray(m["loss"])
-print(f"compiled+first in {time.perf_counter()-t0:.1f}s", flush=True)
-for _ in range(2):
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tuned", action="store_true")
+    ap.add_argument("--trace", default="")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    cfg = preset("base")
+    if args.tuned:
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, remat_encoder=True, remat_decoder=True
+            ),
+            train=dataclasses.replace(
+                cfg.train, batch_size=6, pad_microbatch_to=8
+            ),
+        )
+    mc = cfg.model
+    H, W = mc.img_size
+    model = CamRaDepth(mc)
+    sched = onecycle(
+        cfg.train.learning_rate, total_steps=100,
+        div_factor=cfg.train.div_factor,
+    )
+    tx = diffgrad_norm(sched, weight_decay=cfg.train.weight_decay)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, tx, rng)
+    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+
+    acc = cfg.train.update_interval
+    mb = cfg.train.batch_size
+    micro = {
+        "features": jax.random.normal(
+            rng, (acc, mb, H, W, 7), jnp.float32
+        ),
+        "gt_depth": jnp.abs(
+            jax.random.normal(rng, (acc, mb, H, W), jnp.float32)
+        )
+        * 0.1,
+    }
+    label = "tuned b6pad8" if args.tuned else f"{mb}x{acc}"
+    print(f"compiling train step ({label})...", flush=True)
+    t0 = time.perf_counter()
     state, m = step(state, micro, rng)
-np.asarray(m["loss"])
-t0 = time.perf_counter()
-K = 5
-for _ in range(K):
-    state, m = step(state, micro, rng)
-np.asarray(m["loss"])
-print(f"step time: {(time.perf_counter()-t0)/K*1000:.1f} ms", flush=True)
-with jax.profiler.trace("/tmp/trace_train"):
+    np.asarray(m["loss"])
+    print(f"compiled+first in {time.perf_counter() - t0:.1f}s",
+          flush=True)
     for _ in range(2):
         state, m = step(state, micro, rng)
     np.asarray(m["loss"])
-print("TRACE DONE", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, micro, rng)
+    np.asarray(m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters * 1000
+    eff = acc * mb
+    print(
+        f"step time ({label}): {dt:.1f} ms "
+        f"= {eff / dt * 1000:.1f} train-frames/s",
+        flush=True,
+    )
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(2):
+                state, m = step(state, micro, rng)
+            np.asarray(m["loss"])
+        print("trace written to", args.trace, flush=True)
+
+
+if __name__ == "__main__":
+    main()
