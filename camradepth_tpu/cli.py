@@ -302,6 +302,53 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Stream depth inference over prepared feature stacks.
+
+    The production counterpart of the reference's batch-1 test loop
+    (runner.py:409-420): batched, pipelined, one jitted graph. Input
+    frames come from a split table (the same artifact contract the
+    trainer consumes); outputs are per-frame metric-depth .npy files
+    plus a throughput report.
+    """
+    import json
+
+    import numpy as np
+
+    from camradepth_tpu.data.pipeline import make_loaders
+    from camradepth_tpu.serving import load_engine
+
+    cfg = _build_config(args)
+    engine = load_engine(cfg, args.checkpoint,
+                         batch_size=args.serve_batch)
+    loaders = make_loaders(cfg.data, batch_size=args.serve_batch)
+    loader = loaders.get("test") or loaders.get("val")
+    if loader is None:
+        print("error: split has no test/val frames", file=sys.stderr)
+        return 2
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def frames():
+        for batch in loader:
+            feats = np.asarray(batch["features"])
+            for i in range(feats.shape[0]):
+                yield feats[i, ..., : cfg.model.input_channels]
+
+    n = 0
+    for i, res in enumerate(engine.infer_stream(frames())):
+        np.save(out_dir / f"{i:05d}_depth.npy", res["depth"])
+        if "seg" in res:
+            np.save(out_dir / f"{i:05d}_seg.npy", res["seg"])
+        n += 1
+        if args.limit and n >= args.limit:
+            break
+    stats = engine.stats()
+    print(json.dumps({"frames": n, **stats}))
+    return 0
+
+
+
 def cmd_bench(args) -> int:
     import importlib.util
 
@@ -389,6 +436,19 @@ def main(argv=None) -> int:
                    help='JSON {"field": [[lo,hi],"log|float|int|item"], …}; '
                         "model./data. prefixes route to those config trees")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "serve", help="streaming batched inference over a split "
+                      "(production serving engine)"
+    )
+    _add_common_model_flags(p)
+    p.add_argument("--out", default="served")
+    p.add_argument("--serve-batch", type=int, default=8,
+                   help="8 is the v5e sweet spot (XLA space-to-batches "
+                        "convs below batch 8)")
+    p.add_argument("--limit", type=int, default=0,
+                   help="stop after N frames (0 = all)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

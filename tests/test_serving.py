@@ -53,3 +53,60 @@ class TestDepthEngine:
         stats = eng.stats()
         assert stats["frames"] >= 10
         assert stats["frames_per_sec"] > 0
+
+
+def test_cli_serve_end_to_end(tmp_path):
+    """`camradepth serve` streams a synthetic split through the engine
+    and writes per-frame metric-depth artifacts + a stats JSON line."""
+    import contextlib
+    import dataclasses
+    import io
+    import json
+    import unittest.mock as mock
+
+    from camradepth_tpu import cli
+    from camradepth_tpu.config import DataConfig
+    from camradepth_tpu.data import synthetic
+    from camradepth_tpu.utils import checkpoint as ck
+
+    cfg = tiny_test_config()
+    split = synthetic.generate(tmp_path / "data", num_frames=5,
+                               hw=cfg.model.img_size, seed=3)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            split_path=str(split),
+            image_dimension=cfg.model.img_size,
+            train_val_split=(2, 1),
+            num_workers=1,
+        )
+    )
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, cfg.model.input_channels)),
+        deterministic=True,
+    )["params"]
+    ck_dir = tmp_path / "ckpt"
+    ckpt_path = ck.save_checkpoint(ck_dir, {"params": params}, epoch=0, eval_loss=0.5)
+
+    out = tmp_path / "served"
+    argv = [
+        "serve",
+        "--preset", "base",
+        "--checkpoint", str(ckpt_path),
+        "--out", str(out),
+        "--serve-batch", "2",
+        "--limit", "2",
+    ]
+    with mock.patch.object(cli, "_build_config", lambda a: cfg):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(argv)
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["frames"] == 2
+    d = np.load(out / "00000_depth.npy")
+    assert d.shape == cfg.model.img_size
+    assert np.isfinite(d).all()
