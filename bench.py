@@ -72,7 +72,60 @@ def timed_fps(model, params, batch: int, scan_len: int, hwc) -> float:
     return batch * scan_len / dt
 
 
+def train_step_ms() -> float:
+    """Measure the TPU-tuned effective-batch-6 train step (one
+    microbatch of 6 padded to 8, encoder+decoder remat — see
+    TrainConfig.pad_microbatch_to). Compile is served from the
+    persistent JAX cache after the first run."""
+    import dataclasses
+
+    from camradepth_tpu.config import preset
+    from camradepth_tpu.models.camradepth import CamRaDepth
+    from camradepth_tpu.train.diffgrad import diffgrad_norm
+    from camradepth_tpu.train.schedule import onecycle
+    from camradepth_tpu.train.step import init_state, make_train_step
+
+    cfg = preset("base")
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, remat_encoder=True, remat_decoder=True
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=6, pad_microbatch_to=8
+        ),
+    )
+    mc = cfg.model
+    h, w = mc.img_size
+    model = CamRaDepth(mc)
+    tx = diffgrad_norm(
+        onecycle(cfg.train.learning_rate, total_steps=100,
+                 div_factor=cfg.train.div_factor),
+        weight_decay=cfg.train.weight_decay,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, tx, rng)
+    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+    micro = {
+        "features": jax.random.normal(rng, (1, 6, h, w, 7), jnp.float32),
+        "gt_depth": jnp.abs(
+            jax.random.normal(rng, (1, 6, h, w), jnp.float32)
+        ) * 0.1,
+    }
+    state, m = step(state, micro, rng)
+    np.asarray(m["loss"])
+    for _ in range(2):
+        state, m = step(state, micro, rng)
+    np.asarray(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state, m = step(state, micro, rng)
+    np.asarray(m["loss"])
+    return (time.perf_counter() - t0) / 4 * 1000
+
+
 def main() -> None:
+    import sys
+
     from camradepth_tpu.config import preset
     from camradepth_tpu.models.camradepth import CamRaDepth
 
@@ -90,6 +143,13 @@ def main() -> None:
     fps = timed_fps(model, params, BATCH, SCAN_LEN, (h, w, c))
     fps1 = timed_fps(model, params, 1, SCAN_LEN, (h, w, c))
 
+    extra = {}
+    if "--train" in sys.argv:
+        ms = train_step_ms()
+        extra = {
+            "train_step_ms_batch6": round(ms, 1),
+            "train_frames_per_sec": round(6000.0 / ms, 1),
+        }
     print(
         json.dumps(
             {
@@ -100,6 +160,7 @@ def main() -> None:
                 "batch1_latency_ms": round(1000.0 / fps1, 2),
                 "batch": BATCH,
                 "device": str(jax.devices()[0]),
+                **extra,
             }
         )
     )
