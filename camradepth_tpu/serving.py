@@ -59,6 +59,7 @@ class DepthEngine:
         self.frames_served = 0
         self.batches_served = 0
         self._t_start: Optional[float] = None
+        self._batch_times: list = []
 
     def warmup(self) -> None:
         x = jnp.zeros(self._in_shape, jnp.float32)
@@ -71,8 +72,10 @@ class DepthEngine:
         if n < self.batch_size:
             pad = np.repeat(features[-1:], self.batch_size - n, axis=0)
             features = np.concatenate([features, pad], axis=0)
+        t0 = time.perf_counter()
         out = self._fwd(self.params, jnp.asarray(features))
         result = {"depth": np.asarray(out["depth"])[:n]}
+        self._batch_times.append(time.perf_counter() - t0)
         if out["seg"] is not None:
             result["seg"] = np.asarray(out["seg"])[:n]
         if self._t_start is None:
@@ -117,7 +120,15 @@ class DepthEngine:
         elapsed = (
             time.perf_counter() - self._t_start if self._t_start else 0.0
         )
+        lat = {}
+        if self._batch_times:
+            bt = np.asarray(self._batch_times) * 1000.0
+            lat = {
+                "batch_ms_p50": float(np.percentile(bt, 50)),
+                "batch_ms_p95": float(np.percentile(bt, 95)),
+            }
         return {
+            **lat,
             "frames": float(self.frames_served),
             "batches": float(self.batches_served),
             "elapsed_s": elapsed,
