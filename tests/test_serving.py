@@ -110,3 +110,31 @@ def test_cli_serve_end_to_end(tmp_path):
     d = np.load(out / "00000_depth.npy")
     assert d.shape == cfg.model.img_size
     assert np.isfinite(d).all()
+
+
+def test_mesh_sharded_engine_matches_single_device():
+    """Multi-chip serving: batch x spatial sharded engine reproduces the
+    single-device engine bit-for-bit (GSPMD halo exchanges included)."""
+    from jax.sharding import Mesh
+
+    cfg, ref_engine = _engine(batch_size=2)
+    ref_engine.warmup()
+    h, w = cfg.model.img_size
+    x = np.random.default_rng(7).standard_normal(
+        (2, h, w, 7)
+    ).astype(np.float32)
+    ref = ref_engine.infer_batch(x)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "sp"))
+    from camradepth_tpu.serving import DepthEngine
+
+    eng = DepthEngine(
+        cfg, ref_engine.model, ref_engine.params, batch_size=2,
+        mesh=mesh, spatial_axis="sp",
+    )
+    eng.warmup()
+    out = eng.infer_batch(x)
+    np.testing.assert_allclose(
+        ref["depth"], out["depth"], atol=1e-5, rtol=1e-5
+    )
