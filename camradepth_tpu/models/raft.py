@@ -41,22 +41,22 @@ Dtype = Any
 
 
 class InstanceNorm(nn.Module):
-    """torch InstanceNorm2d(affine=True) eval semantics: per-(sample,
-    channel) spatial statistics, no running stats."""
+    """torch InstanceNorm2d default (affine=False) eval semantics:
+    per-(sample, channel) spatial statistics, no running stats, and NO
+    learnable scale/bias — the official RAFT encoders construct
+    ``nn.InstanceNorm2d(planes)`` with the affine default, so official
+    raft-things/raft-kitti checkpoints contain no ``fnet.norm*`` keys.
+    A parameterless module here keeps the Flax tree in one-to-one
+    correspondence with those checkpoints."""
 
     features: int
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones,
-                           (self.features,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
         mean = x.mean(axis=(1, 2), keepdims=True)
         var = ((x - mean) ** 2).mean(axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        return (x - mean) * jax.lax.rsqrt(var + self.eps)
 
 
 class FrozenBatchNorm(nn.Module):
@@ -218,9 +218,14 @@ def lookup_corr(
         wxs = _bilinear_axis_weights(lx, wl)   # [B,H,W,2r+1,WL]
         wys = _bilinear_axis_weights(ly, hl)   # [B,H,W,2r+1,HL]
         cv = corr.reshape(b, h, w, hl, wl)
-        # contract W then H
+        # contract W then H; output taps ordered [x-tap (j) outer,
+        # y-tap (i) inner] to match the official CorrBlock's flattened
+        # channel order: its delta = stack(meshgrid(dy, dx)) combined
+        # with bilinear_sampler's (x, y) coordinate split makes the
+        # OUTER neighborhood index vary the x offset, so convc1's
+        # checkpoint weights expect x-major channels.
         t = jnp.einsum("bhwyx,bhwjx->bhwyj", cv, wxs)
-        s = jnp.einsum("bhwyj,bhwiy->bhwij", t, wys)
+        s = jnp.einsum("bhwyj,bhwiy->bhwji", t, wys)
         outs.append(s.reshape(b, h, w, (2 * r + 1) ** 2))
     return jnp.concatenate(outs, axis=-1)
 
@@ -363,24 +368,30 @@ class RAFT(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _enc_map(prefix: str) -> Dict[str, Tuple[str, ...]]:
-    """torch name -> flax path for a BasicEncoder submodule."""
+def _enc_map(prefix: str, norms: bool) -> Dict[str, Tuple[str, ...]]:
+    """torch name -> flax path for a BasicEncoder submodule.
+
+    ``norms=False`` for the instance-norm fnet: its norm layers are
+    parameterless (InstanceNorm2d affine=False), so official checkpoints
+    carry no keys for them and the Flax tree has no matching nodes."""
     m = {
         f"{prefix}.conv1": (prefix, "conv1"),
-        f"{prefix}.norm1": (prefix, "norm1"),
         f"{prefix}.conv2": (prefix, "conv2"),
     }
+    if norms:
+        m[f"{prefix}.norm1"] = (prefix, "norm1")
     for layer in (1, 2, 3):
         for blk in (0, 1):
             t = f"{prefix}.layer{layer}.{blk}"
             f = f"layer{layer}_{blk}"
             m[f"{t}.conv1"] = (prefix, f, "conv1")
             m[f"{t}.conv2"] = (prefix, f, "conv2")
-            m[f"{t}.norm1"] = (prefix, f, "norm1")
-            m[f"{t}.norm2"] = (prefix, f, "norm2")
-            m[f"{t}.norm3"] = (prefix, f, "norm3")
             m[f"{t}.downsample.0"] = (prefix, f, "downsample")
-            m[f"{t}.downsample.1"] = (prefix, f, "norm3")
+            if norms:
+                m[f"{t}.norm1"] = (prefix, f, "norm1")
+                m[f"{t}.norm2"] = (prefix, f, "norm2")
+                m[f"{t}.norm3"] = (prefix, f, "norm3")
+                m[f"{t}.downsample.1"] = (prefix, f, "norm3")
     return m
 
 
@@ -408,8 +419,8 @@ def load_torch_raft_state_dict(state: Dict[str, Any]) -> Dict:
         for k, v in state.items()
     }
     mapping = {}
-    mapping.update(_enc_map("fnet"))
-    mapping.update(_enc_map("cnet"))
+    mapping.update(_enc_map("fnet", norms=False))
+    mapping.update(_enc_map("cnet", norms=True))
     mapping.update(_upd_map())
 
     params: Dict = {}

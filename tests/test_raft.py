@@ -1,11 +1,13 @@
 """TPU-native RAFT: component numerics + official-checkpoint mapping.
 
 Real RAFT weights are unavailable here, so the full network is
-validated structurally (5.3M params, the official raft-large count,
-and a state_dict with the official key set loads onto every leaf)
-while the nonstandard numerics — the gather-free correlation lookup
-and the convex upsampler — are verified against naive NumPy
-implementations of the published definitions.
+validated structurally — a synthesized state_dict with the TRUE
+official raft-large key set and shapes (no fnet instance-norm params;
+cnet BatchNorm with running stats + num_batches_tracked) must load
+into a complete, applyable params tree — while the nonstandard
+numerics (the gather-free correlation lookup, its x-offset-major
+channel order, and the convex upsampler) are verified against naive
+NumPy implementations of the published definitions.
 """
 
 import jax
@@ -81,6 +83,35 @@ def test_lookup_corr_center_tap():
             )
 
 
+def test_lookup_corr_tap_order_is_x_major():
+    """Every neighborhood tap must land at the official CorrBlock
+    channel position: flat index a*(2r+1)+b samples offset
+    (dx=offs[a], dy=offs[b]) — the OUTER index varies the x offset
+    (delta = stack(meshgrid(dy, dx)) + bilinear_sampler's (x, y)
+    split). With official convc1 weights a y-major order would
+    transpose the channels and silently corrupt the flow."""
+    h, w = 6, 7
+    rng = np.random.RandomState(3)
+    corr_np = rng.randn(1, h * w, h, w).astype(np.float32)
+    pyr = [jnp.asarray(corr_np)]
+    flow = jnp.zeros((1, h, w, 2))
+    r = 1
+    offs = [-1, 0, 1]
+    out = np.asarray(lookup_corr(pyr, flow, radius=r))
+    assert out.shape == (1, h, w, 9)
+    # interior pixels: every tap is in range, value = exact grid entry
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            n = y * w + x
+            for a, dx in enumerate(offs):
+                for b, dy in enumerate(offs):
+                    np.testing.assert_allclose(
+                        out[0, y, x, a * 3 + b],
+                        corr_np[0, n, y + dy, x + dx],
+                        rtol=1e-5, atol=1e-5,
+                    )
+
+
 def test_convex_upsample_naive():
     rng = np.random.RandomState(3)
     flow = rng.randn(1, 2, 3, 2).astype(np.float32)
@@ -108,150 +139,152 @@ def test_convex_upsample_naive():
                     )
 
 
-def _official_raft_keys():
-    """The raft-large state_dict key set (module.-prefixed), from the
-    published architecture: fnet/cnet BasicEncoders, BasicUpdateBlock
-    with BasicMotionEncoder, SepConvGRU, FlowHead and the mask head."""
-    keys = []
+def _official_raft_state(seed: int = 0):
+    """Synthesize a state_dict with the TRUE official raft-large key
+    set and shapes (torch OIHW conv layout, module.-prefixed as saved
+    by DataParallel). Notably:
 
-    def enc(p, norm):
-        keys.append(f"{p}.conv1.weight"); keys.append(f"{p}.conv1.bias")
-        if norm:
-            keys.append(f"{p}.norm1.weight")
-            keys.append(f"{p}.norm1.bias")
-        for layer, stride in ((1, 1), (2, 2), (3, 2)):
+    - fnet uses InstanceNorm2d with the affine default (False): NO
+      fnet.norm* keys exist in real raft-things/raft-kitti files;
+    - cnet uses BatchNorm2d: weight/bias/running_mean/running_var +
+      num_batches_tracked per norm, and the stride-2 blocks register
+      the downsample norm twice (norm3 AND downsample.1).
+    """
+    rng = np.random.RandomState(seed)
+    state = {}
+
+    def tensor(key, shape):
+        state["module." + key] = rng.randn(*shape).astype(
+            np.float32
+        ) * 0.05
+
+    def bn(key, c):
+        tensor(f"{key}.weight", (c,))
+        tensor(f"{key}.bias", (c,))
+        tensor(f"{key}.running_mean", (c,))
+        state[f"module.{key}.running_var"] = np.abs(
+            rng.randn(c)
+        ).astype(np.float32) + 0.5
+        state[f"module.{key}.num_batches_tracked"] = np.int64(1000)
+
+    def encoder(p, batch_norm):
+        tensor(f"{p}.conv1.weight", (64, 3, 7, 7))
+        tensor(f"{p}.conv1.bias", (64,))
+        if batch_norm:
+            bn(f"{p}.norm1", 64)
+        for layer, (cin, cout, stride) in enumerate(
+            ((64, 64, 1), (64, 96, 2), (96, 128, 2)), start=1
+        ):
             for blk in (0, 1):
                 q = f"{p}.layer{layer}.{blk}"
-                for c in ("conv1", "conv2"):
-                    keys.append(f"{q}.{c}.weight")
-                    keys.append(f"{q}.{c}.bias")
-                if norm:
-                    for nrm in ("norm1", "norm2"):
-                        keys.append(f"{q}.{nrm}.weight")
-                        keys.append(f"{q}.{nrm}.bias")
-                if blk == 0 and stride == 2:
-                    keys.append(f"{q}.downsample.0.weight")
-                    keys.append(f"{q}.downsample.0.bias")
-                    if norm:
-                        # The official module registers the downsample
-                        # norm twice (self.norm3 and downsample[1]), so
-                        # both aliases appear in real checkpoints.
-                        keys.append(f"{q}.downsample.1.weight")
-                        keys.append(f"{q}.downsample.1.bias")
-                        keys.append(f"{q}.norm3.weight")
-                        keys.append(f"{q}.norm3.bias")
-        keys.append(f"{p}.conv2.weight"); keys.append(f"{p}.conv2.bias")
+                i = cin if blk == 0 else cout
+                s = stride if blk == 0 else 1
+                tensor(f"{q}.conv1.weight", (cout, i, 3, 3))
+                tensor(f"{q}.conv1.bias", (cout,))
+                tensor(f"{q}.conv2.weight", (cout, cout, 3, 3))
+                tensor(f"{q}.conv2.bias", (cout,))
+                if batch_norm:
+                    bn(f"{q}.norm1", cout)
+                    bn(f"{q}.norm2", cout)
+                if s != 1:
+                    tensor(f"{q}.downsample.0.weight", (cout, i, 1, 1))
+                    tensor(f"{q}.downsample.0.bias", (cout,))
+                    if batch_norm:
+                        # self.norm3 is the same module as
+                        # downsample[1]; torch serializes both names
+                        bn(f"{q}.norm3", cout)
+                        for leaf in ("weight", "bias", "running_mean",
+                                     "running_var",
+                                     "num_batches_tracked"):
+                            state[f"module.{q}.downsample.1.{leaf}"] = (
+                                state[f"module.{q}.norm3.{leaf}"]
+                            )
+        tensor(f"{p}.conv2.weight", (256, 128, 1, 1))
+        tensor(f"{p}.conv2.bias", (256,))
 
-    enc("fnet", True)
-    enc("cnet", True)
+    encoder("fnet", batch_norm=False)
+    encoder("cnet", batch_norm=True)
+
     u = "update_block"
-    for c in ("convc1", "convc2", "convf1", "convf2", "conv"):
-        keys.append(f"{u}.encoder.{c}.weight")
-        keys.append(f"{u}.encoder.{c}.bias")
-    for c in ("convz1", "convr1", "convq1", "convz2", "convr2",
-              "convq2"):
-        keys.append(f"{u}.gru.{c}.weight")
-        keys.append(f"{u}.gru.{c}.bias")
-    for c in ("conv1", "conv2"):
-        keys.append(f"{u}.flow_head.{c}.weight")
-        keys.append(f"{u}.flow_head.{c}.bias")
-    keys.append(f"{u}.mask.0.weight"); keys.append(f"{u}.mask.0.bias")
-    keys.append(f"{u}.mask.2.weight"); keys.append(f"{u}.mask.2.bias")
-    return ["module." + k for k in keys]
+    cor_planes = 4 * (2 * 4 + 1) ** 2  # 324
+    for key, shape in (
+        (f"{u}.encoder.convc1.weight", (256, cor_planes, 1, 1)),
+        (f"{u}.encoder.convc1.bias", (256,)),
+        (f"{u}.encoder.convc2.weight", (192, 256, 3, 3)),
+        (f"{u}.encoder.convc2.bias", (192,)),
+        (f"{u}.encoder.convf1.weight", (128, 2, 7, 7)),
+        (f"{u}.encoder.convf1.bias", (128,)),
+        (f"{u}.encoder.convf2.weight", (64, 128, 3, 3)),
+        (f"{u}.encoder.convf2.bias", (64,)),
+        (f"{u}.encoder.conv.weight", (126, 256, 3, 3)),
+        (f"{u}.encoder.conv.bias", (126,)),
+        (f"{u}.gru.convz1.weight", (128, 384, 1, 5)),
+        (f"{u}.gru.convz1.bias", (128,)),
+        (f"{u}.gru.convr1.weight", (128, 384, 1, 5)),
+        (f"{u}.gru.convr1.bias", (128,)),
+        (f"{u}.gru.convq1.weight", (128, 384, 1, 5)),
+        (f"{u}.gru.convq1.bias", (128,)),
+        (f"{u}.gru.convz2.weight", (128, 384, 5, 1)),
+        (f"{u}.gru.convz2.bias", (128,)),
+        (f"{u}.gru.convr2.weight", (128, 384, 5, 1)),
+        (f"{u}.gru.convr2.bias", (128,)),
+        (f"{u}.gru.convq2.weight", (128, 384, 5, 1)),
+        (f"{u}.gru.convq2.bias", (128,)),
+        (f"{u}.flow_head.conv1.weight", (256, 128, 3, 3)),
+        (f"{u}.flow_head.conv1.bias", (256,)),
+        (f"{u}.flow_head.conv2.weight", (2, 256, 3, 3)),
+        (f"{u}.flow_head.conv2.bias", (2,)),
+        (f"{u}.mask.0.weight", (256, 128, 3, 3)),
+        (f"{u}.mask.0.bias", (256,)),
+        (f"{u}.mask.2.weight", (64 * 9, 256, 1, 1)),
+        (f"{u}.mask.2.bias", (64 * 9,)),
+    ):
+        tensor(key, shape)
+    return state
 
 
-def test_checkpoint_mapping_covers_every_leaf():
+def test_official_checkpoint_loads_complete_applyable_tree():
+    """The loader must turn the true official key set into a params
+    tree with EXACTLY the model's structure — and the model must
+    apply with it (a missing leaf raises ScopeParamNotFoundError)."""
+    state = _official_raft_state()
+    loaded = load_torch_raft_state_dict(state)
+
     model = RAFT(iters=1)
     im = jnp.zeros((1, 16, 16, 3))
     ref = model.init({"params": jax.random.PRNGKey(0)}, im, im)[
         "params"
     ]
-    # Build a fake official state_dict whose values are the reference
-    # tree's leaves converted back to torch layout, then load it.
-    flat = jax.tree_util.tree_flatten_with_path(ref)[0]
-    paths = {
-        "/".join(str(k.key) for k, in zip(p)): v for p, v in flat
-    } if False else {
-        "/".join(str(k.key) for k in p): np.asarray(v) for p, v in flat
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    ref_paths = {
+        "/".join(str(k.key) for k in p): v.shape for p, v in ref_flat
     }
-    state = {}
-    rng = np.random.RandomState(0)
-    for key in _official_raft_keys():
-        k = key[7:]
-        if k.endswith(".weight") and (".norm" not in k
-                                      and ".downsample.1" not in k):
-            # conv: need the right OIHW shape -> derive from flax leaf
-            continue
-        state[key] = None
-    # Simpler: synthesize values per key from the flax shapes via the
-    # loader's own mapping inverse is overkill — instead check that
-    # loading random values with correct shapes fills every leaf.
-    from camradepth_tpu.models.raft import _enc_map, _upd_map
-
-    mapping = {}
-    mapping.update(_enc_map("fnet"))
-    mapping.update(_enc_map("cnet"))
-    mapping.update(_upd_map())
-
-    def leaf(path, name):
-        node = ref
-        for q in path:
-            node = node[q]
-        return node[name]
-
-    state = {}
-    for tname, path in mapping.items():
-        try:
-            k = leaf(path, "kernel")
-        except KeyError:
-            k = None
-        if k is not None:
-            state[f"module.{tname}.weight"] = np.asarray(k).transpose(
-                3, 2, 0, 1
-            )
-            try:
-                state[f"module.{tname}.bias"] = np.asarray(
-                    leaf(path, "bias")
-                )
-            except KeyError:
-                pass
-            continue
-        try:
-            sc = leaf(path, "scale")
-        except KeyError:
-            continue
-        state[f"module.{tname}.weight"] = np.asarray(sc)
-        state[f"module.{tname}.bias"] = np.asarray(leaf(path, "bias"))
-        try:
-            state[f"module.{tname}.running_mean"] = np.asarray(
-                leaf(path, "mean")
-            )
-            state[f"module.{tname}.running_var"] = np.asarray(
-                leaf(path, "var")
-            )
-        except KeyError:
-            pass
-
-    # The synthesized keys must be exactly the official key set
-    # (minus running stats bookkeeping).
-    official = set(_official_raft_keys())
-    extra = {k for k in state if k.replace(".running_mean", ".weight")
-             .replace(".running_var", ".weight") not in official}
-    assert not extra, sorted(extra)[:8]
-
-    loaded = load_torch_raft_state_dict(state)
-    got = jax.tree_util.tree_flatten_with_path(loaded)[0]
-    got_paths = {"/".join(str(k.key) for k in p) for p, _ in got}
-    ref_paths = {"/".join(str(k.key) for k in p) for p, _ in flat}
+    got_paths = {
+        "/".join(str(k.key) for k in p): v.shape for p, v in got_flat
+    }
     assert got_paths == ref_paths, (
-        sorted(ref_paths - got_paths)[:6],
-        sorted(got_paths - ref_paths)[:6],
+        sorted(set(ref_paths) - set(got_paths))[:6],
+        sorted(set(got_paths) - set(ref_paths))[:6],
     )
-    for (p, a), (q, b) in zip(
-        sorted(flat, key=lambda t: str(t[0])),
-        sorted(got, key=lambda t: str(t[0])),
-    ):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.RandomState(9)
+    im1 = jnp.asarray(rng.randint(0, 255, (1, 16, 24, 3)), jnp.float32)
+    im2 = jnp.asarray(rng.randint(0, 255, (1, 16, 24, 3)), jnp.float32)
+    flow = model.apply({"params": loaded}, im1, im2)
+    assert flow.shape == (1, 16, 24, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+
+    # spot-check a conv kernel round-trips OIHW -> HWIO
+    np.testing.assert_array_equal(
+        np.asarray(loaded["fnet"]["conv1"]["kernel"]),
+        state["module.fnet.conv1.weight"].transpose(2, 3, 1, 0),
+    )
+    # and a BatchNorm running stat lands on the frozen-BN leaves
+    np.testing.assert_array_equal(
+        np.asarray(loaded["cnet"]["norm1"]["mean"]),
+        state["module.cnet.norm1.running_mean"],
+    )
 
 
 def test_full_model_runs():
@@ -268,61 +301,17 @@ def test_full_model_runs():
 
 
 def test_jax_raft_estimator_end_to_end(tmp_path):
-    """Official-format .pth (random values) -> native JAX RAFT ->
-    pipeline flow contract, including the /8 pad/unpad."""
+    """Official-format .pth (synthesized values, true key set) ->
+    native JAX RAFT -> pipeline flow contract, including the /8
+    pad/unpad."""
     torch = pytest.importorskip("torch")
-    from camradepth_tpu.dataprep.adapters import (
-        jax_raft_estimator,
-        make_flow_estimator,
-    )
-    from camradepth_tpu.models.raft import _enc_map, _upd_map
+    from camradepth_tpu.dataprep.adapters import make_flow_estimator
 
-    model = RAFT(iters=1)
-    im = jnp.zeros((1, 16, 16, 3))
-    ref = model.init({"params": jax.random.PRNGKey(0)}, im, im)[
-        "params"
-    ]
-    mapping = {}
-    mapping.update(_enc_map("fnet"))
-    mapping.update(_enc_map("cnet"))
-    mapping.update(_upd_map())
-
-    def leaf(path, name):
-        node = ref
-        for q in path:
-            if q not in node:
-                return None
-            node = node[q]
-        return node.get(name)
-
-    state = {}
-    for tname, path in mapping.items():
-        k = leaf(path, "kernel")
-        if k is not None:
-            state[f"module.{tname}.weight"] = torch.tensor(
-                np.asarray(k).transpose(3, 2, 0, 1)
-            )
-            b = leaf(path, "bias")
-            if b is not None:
-                state[f"module.{tname}.bias"] = torch.tensor(
-                    np.asarray(b)
-                )
-            continue
-        sc = leaf(path, "scale")
-        if sc is None:
-            continue
-        state[f"module.{tname}.weight"] = torch.tensor(np.asarray(sc))
-        state[f"module.{tname}.bias"] = torch.tensor(
-            np.asarray(leaf(path, "bias"))
-        )
-        mean = leaf(path, "mean")
-        if mean is not None:
-            state[f"module.{tname}.running_mean"] = torch.tensor(
-                np.asarray(mean)
-            )
-            state[f"module.{tname}.running_var"] = torch.tensor(
-                np.asarray(leaf(path, "var"))
-            )
+    state = {
+        k: (torch.tensor(v) if isinstance(v, np.ndarray)
+            else torch.tensor(int(v)))
+        for k, v in _official_raft_state(seed=5).items()
+    }
     path = tmp_path / "raft-synth.pth"
     torch.save(state, str(path))
 
