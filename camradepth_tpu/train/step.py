@@ -144,16 +144,26 @@ def make_train_step(
 
 
 def make_eval_step(cfg: ExperimentConfig, model) -> Callable:
-    """eval_step(params, batch) -> metrics dict (no_grad val pass,
-    runner.py:273-350)."""
+    """eval_step(params, batch) -> PER-SAMPLE metrics dict, each [B]
+    (no_grad val pass, runner.py:273-350).
+
+    Metrics are per-frame (losses vmapped over the batch) so the caller
+    can drop the loader's padded duplicate tail frames (batch["valid"],
+    data/pipeline.py pads ragged val batches by repeating the last
+    example) and aggregate frame-weighted — the reference's val loop
+    never sees duplicates, so neither may ours."""
 
     def eval_step(params, batch):
         pred = model.apply(
             {"params": params}, batch["features"], deterministic=True
         )
         gt = build_gt(batch)
-        _, metrics = multitask_loss(pred, gt, cfg)
-        return metrics
+
+        def per_sample(pred_i, gt_i):
+            _, metrics = multitask_loss(pred_i, gt_i, cfg)
+            return metrics
+
+        return jax.vmap(per_sample)(pred, gt)
 
     return eval_step
 

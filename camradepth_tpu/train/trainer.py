@@ -350,28 +350,40 @@ class Trainer:
                 "validation requires a non-empty val split; the current "
                 "config assigns 0 frames to val."
             )
-        rows = []
         data_size = (
             self.mesh.shape.get(self.cfg.mesh.data_axis, 1)
             if self.mesh is not None
             else 1
         )
+        sums: Dict[str, float] = {}
+        n_frames = 0.0
         for batch in self.loaders["val"]:
             dev = {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS if k in batch}
+            bsz = int(next(iter(dev.values())).shape[0])
+            # the loader pads ragged tail batches by duplicating the last
+            # example and marks the padding in batch["valid"] — padded
+            # frames must not count in val aggregation (the reference val
+            # loop sees no duplicates, runner.py:273-350)
+            valid = np.asarray(
+                batch.get("valid", np.ones((bsz,), np.float32)),
+                np.float32,
+            )
             if (
                 self._batch_sharding is not None
-                and next(iter(dev.values())).shape[0] % data_size == 0
+                and bsz % data_size == 0
             ):
                 # shard eval batches over the data axis; ragged final
                 # batches fall back to single-device
                 dev = jax.device_put(dev, self._batch_sharding)
             metrics = self._eval_step(self.state.params, dev)
-            rows.append({k: float(v) for k, v in metrics.items()})
-        if not rows:
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(
+                    np.sum(np.asarray(v) * valid)
+                )
+            n_frames += float(valid.sum())
+        if n_frames == 0:
             return {"loss": float("nan"), "rmse_m": float("nan")}
-        agg = {
-            k: float(np.nanmean([r[k] for r in rows])) for k in rows[0]
-        }
+        agg = {k: v / n_frames for k, v in sums.items()}
         self.val_steps += 1
         self.writer.scalars(agg, self.val_steps, prefix="val/")
         return agg

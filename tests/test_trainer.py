@@ -125,6 +125,35 @@ class TestTrainer:
         assert any(np.abs(np.asarray(x)).max() > 0 for x in m
                    if hasattr(x, 'shape') and np.size(x) > 1)
 
+    def test_ragged_val_batches_do_not_double_count(self, synth, tmp_path):
+        """The loader pads ragged val batches by duplicating the last
+        example (batch["valid"] marks the padding); evaluate() must mask
+        those duplicates out, so a 5-frame val split yields IDENTICAL
+        metrics at batch 4 (4 + 1-real/3-dup) and batch 5 (one full
+        batch) — the reference's val loop never sees duplicates
+        (runner.py:273-350)."""
+        import dataclasses
+
+        base = _cfg(synth, tmp_path)
+        data = dataclasses.replace(base.data, train_val_split=(3, 5))
+        results = {}
+        for bs in (4, 5):
+            cfg = base.replace(
+                data=data,
+                train=dataclasses.replace(
+                    base.train, batch_size=bs, desired_batch_size=bs,
+                    save_model=False,
+                ),
+            )
+            t = Trainer(cfg, run_dir=str(tmp_path / f"ragged{bs}"))
+            results[bs] = t.evaluate()
+        assert results[4].keys() == results[5].keys()
+        for k in results[4]:
+            np.testing.assert_allclose(
+                results[4][k], results[5][k], rtol=2e-5, atol=1e-6,
+                err_msg=f"val metric {k} differs between batch 4 and 5",
+            )
+
     def test_empty_train_split_clear_error(self, synth, tmp_path):
         """mini_dataset-style (0,0) splits must fail up front with a clear
         message, not a TypeError on len(None) (the reference crashes deep
