@@ -68,6 +68,71 @@ def apply_overrides(cfg: ExperimentConfig, overrides: Dict[str, Any]
     return cfg
 
 
+def successive_halving_search(
+    base_cfg: ExperimentConfig,
+    search_spaces: Dict[str, Tuple[Sequence[Any], str]],
+    num_trials: int = 9,
+    min_steps: int = 10,
+    max_steps: int = 200,
+    eta: int = 3,
+    seed: int = 0,
+    loaders=None,
+    trial_runner=None,
+) -> Tuple[Dict[str, Any], float, List[Dict]]:
+    """Random search with successive-halving early pruning
+    (Jamieson & Talwalkar, AISTATS 2016 — the Hyperband inner loop).
+
+    All ``num_trials`` sampled configs train for ``min_steps`` optimizer
+    steps; each rung keeps the best ceil(1/eta) fraction by val loss and
+    multiplies the step budget by ``eta``, until one survivor remains or
+    the budget would exceed ``max_steps``. Against plain random search
+    at full budget this spends O(eta/num_trials) of the compute on the
+    losers instead of 100%. (The reference's search is a TODO stub,
+    runner.py:521-565, so the pruning policy here is framework-grade
+    addition, not parity.)
+
+    ``trial_runner(cfg) -> float`` overrides the default Trainer run
+    (tests); the step budget arrives via ``cfg.train.num_steps``.
+    """
+    rng = np.random.default_rng(seed)
+    trials: List[Dict[str, Any]] = [
+        sample_config(search_spaces, rng) for _ in range(num_trials)
+    ]
+    results: List[Dict] = []
+    budget = max(1, min_steps)
+    rung = 0
+    while True:
+        scored: List[Tuple[float, Dict[str, Any]]] = []
+        for overrides in trials:
+            cfg = apply_overrides(base_cfg, overrides)
+            cfg = cfg.replace(
+                train=dataclasses.replace(
+                    cfg.train, num_steps=budget, num_epochs=None
+                )
+            )
+            if trial_runner is not None:
+                val_loss = float(trial_runner(cfg))
+            else:
+                from camradepth_tpu.train.trainer import Trainer
+
+                trainer = Trainer(cfg, loaders=loaders)
+                val_loss = float(trainer.train())
+            scored.append((val_loss, overrides))
+            results.append({
+                "overrides": overrides, "val_loss": val_loss,
+                "rung": rung, "steps": budget,
+            })
+        scored.sort(key=lambda t: t[0])
+        keep = max(1, math.ceil(len(scored) / eta))
+        trials = [o for _, o in scored[:keep]]
+        if budget * eta > max_steps:
+            # this was the final (largest-budget) rung
+            best_loss, best = scored[0]
+            return best, best_loss, results
+        budget *= eta
+        rung += 1
+
+
 def random_search(
     base_cfg: ExperimentConfig,
     search_spaces: Dict[str, Tuple[Sequence[Any], str]],

@@ -9,6 +9,7 @@ from camradepth_tpu.train.search import (
     apply_overrides,
     random_search,
     sample_config,
+    successive_halving_search,
 )
 from camradepth_tpu.utils.profiling import StepTimer, flops_estimate, trace
 
@@ -55,6 +56,36 @@ class TestSearch:
         assert len(results) == 8
         assert best_loss == min(r["val_loss"] for r in results)
         assert best["learning_rate"] > 0
+
+    def test_successive_halving_prunes_budget(self):
+        """9 trials, eta=3: rung budgets 10/30/90 over 9/3/1 trials =
+        9*10 + 3*30 + 1*90 = 270 steps vs 9*90 = 810 for full-budget
+        random search; the best config must be the true argmin."""
+        cfg = tiny_test_config()
+        spent = []
+
+        def runner(c):
+            spent.append(c.train.num_steps)
+            return abs(c.train.learning_rate - 3e-4)
+
+        spaces = {"learning_rate": ([1e-5, 1e-3], "log")}
+        best, best_loss, results = successive_halving_search(
+            cfg, spaces, num_trials=9, min_steps=10, max_steps=90,
+            eta=3, seed=1, trial_runner=runner,
+        )
+        assert sum(spent) == 9 * 10 + 3 * 30 + 1 * 90
+        assert len(results) == 13
+        # survivors of each rung are the rung's best third
+        rung0 = [r for r in results if r["rung"] == 0]
+        rung1_set = {
+            tuple(r["overrides"].items()) for r in results
+            if r["rung"] == 1
+        }
+        top3 = sorted(rung0, key=lambda r: r["val_loss"])[:3]
+        assert {tuple(r["overrides"].items()) for r in top3} == rung1_set
+        # deterministic runner: the winner is the global best config
+        assert best_loss == min(r["val_loss"] for r in results)
+        assert abs(best["learning_rate"] - 3e-4) == best_loss
 
 
 class TestProfiling:
