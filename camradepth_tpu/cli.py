@@ -274,7 +274,10 @@ def cmd_search(args) -> int:
     from typed spaces, run short budgeted trials, rank by val loss."""
     import json
 
-    from camradepth_tpu.train.search import random_search
+    from camradepth_tpu.train.search import (
+        random_search,
+        successive_halving_search,
+    )
 
     cfg = _build_config(args)
     # Trial budget: short trainings (num-steps per trial).
@@ -293,9 +296,16 @@ def cmd_search(args) -> int:
             "learning_rate": ((1e-5, 1e-3), "log"),
             "weight_decay": ((1e-6, 1e-2), "log"),
         }
-    best, best_loss, results = random_search(
-        cfg, spaces, num_trials=args.num_trials, seed=args.seed
-    )
+    if args.halving:
+        best, best_loss, results = successive_halving_search(
+            cfg, spaces, num_trials=args.num_trials,
+            min_steps=args.min_steps, max_steps=args.trial_steps,
+            seed=args.seed,
+        )
+    else:
+        best, best_loss, results = random_search(
+            cfg, spaces, num_trials=args.num_trials, seed=args.seed
+        )
     for r in results:
         print(json.dumps(r))
     print(f"best config: {json.dumps(best)} (val loss {best_loss:.6f})")
@@ -316,11 +326,27 @@ def cmd_serve(args) -> int:
     import numpy as np
 
     from camradepth_tpu.data.pipeline import make_loaders
-    from camradepth_tpu.serving import load_engine
+    from camradepth_tpu.serving import load_engine, serving_mesh
 
     cfg = _build_config(args)
+    dp = getattr(args, "data_parallel", None) or 1
+    sp = getattr(args, "spatial_parallel", None) or 1
+    if dp > 1 and args.serve_batch % dp:
+        print(
+            f"error: --serve-batch {args.serve_batch} is not divisible "
+            f"by --data-parallel {dp}", file=sys.stderr,
+        )
+        return 2
+    if sp > 1 and cfg.model.img_size[0] % sp:
+        print(
+            f"error: image height {cfg.model.img_size[0]} is not "
+            f"divisible by --spatial-parallel {sp}", file=sys.stderr,
+        )
+        return 2
+    mesh, batch_axis, sp_axis = serving_mesh(dp, sp)
     engine = load_engine(cfg, args.checkpoint,
-                         batch_size=args.serve_batch)
+                         batch_size=args.serve_batch, mesh=mesh,
+                         batch_axis=batch_axis, spatial_axis=sp_axis)
     loaders = make_loaders(cfg.data, batch_size=args.serve_batch)
     loader = loaders.get("test") or loaders.get("val")
     if loader is None:
@@ -435,6 +461,12 @@ def main(argv=None) -> int:
     p.add_argument("--space", default=None,
                    help='JSON {"field": [[lo,hi],"log|float|int|item"], …}; '
                         "model./data. prefixes route to those config trees")
+    p.add_argument("--halving", action="store_true",
+                   help="successive-halving early pruning: all trials "
+                        "start at --min-steps, each rung keeps the best "
+                        "1/3 with a 3x budget up to --trial-steps")
+    p.add_argument("--min-steps", type=int, default=10,
+                   help="rung-0 step budget for --halving")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser(
@@ -448,6 +480,14 @@ def main(argv=None) -> int:
                         "convs below batch 8)")
     p.add_argument("--limit", type=int, default=0,
                    help="stop after N frames (0 = all)")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard the serving batch over this many chips "
+                        "(throughput scales with chips)")
+    p.add_argument("--spatial-parallel", type=int, default=1,
+                   help="shard the image H axis over this many chips "
+                        "(GSPMD halo exchanges; cuts single-frame "
+                        "latency). Combinable with --data-parallel — "
+                        "inference is exact under any sp layout")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")

@@ -42,8 +42,10 @@ class DepthEngine:
         the batch shards over ``batch_axis`` (throughput scales with
         chips) and, when ``spatial_axis`` names a second mesh axis, the
         image height shards spatially — GSPMD inserts the halo
-        exchanges, cutting single-frame latency per chip-doubling (the
-        sp forward is bit-parity tested in tests/test_parallel.py)."""
+        exchanges. Spatial sharding is the intended route to lower
+        single-frame latency on multi-chip hardware (projection — only
+        bit-parity is measurable on this single-chip machine; see
+        tests/test_parallel.py and tests/test_serving.py)."""
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -76,6 +78,7 @@ class DepthEngine:
         self._fwd = jax.jit(fwd)
         self.frames_served = 0
         self.batches_served = 0
+        self._warmed = False
         self._t_start: Optional[float] = None
         self._batch_times: list = []
 
@@ -85,13 +88,20 @@ class DepthEngine:
             x = jax.device_put(x, self._in_sharding)
         out = self._fwd(self.params, x)
         np.asarray(out["depth"][0, 0, 0])  # force completion
+        self._warmed = True
 
     def infer_batch(self, features: np.ndarray) -> Dict[str, np.ndarray]:
         """features: [b<=batch_size, H, W, C]; pads the tail internally."""
+        if not self._warmed:
+            # compile outside the serving timers — a cold first request
+            # must not pollute latency percentiles / throughput stats
+            self.warmup()
         n = features.shape[0]
         if n < self.batch_size:
             pad = np.repeat(features[-1:], self.batch_size - n, axis=0)
             features = np.concatenate([features, pad], axis=0)
+        if self._t_start is None:
+            self._t_start = time.perf_counter()
         t0 = time.perf_counter()
         x = jnp.asarray(features)
         if self._in_sharding is not None:
@@ -101,8 +111,6 @@ class DepthEngine:
         self._batch_times.append(time.perf_counter() - t0)
         if out["seg"] is not None:
             result["seg"] = np.asarray(out["seg"])[:n]
-        if self._t_start is None:
-            self._t_start = time.perf_counter()
         self.frames_served += n
         self.batches_served += 1
         return result
@@ -161,13 +169,51 @@ class DepthEngine:
         }
 
 
+def serving_mesh(
+    data_parallel: int = 1, spatial_parallel: int = 1
+):
+    """Build a serving mesh (data x sp) over the first
+    data_parallel*spatial_parallel devices, or None for single-device.
+
+    Inference is exact under ANY sp layout (only conv GRADIENTS hit the
+    GSPMD bug documented in parallel/mesh.py), so serving may combine
+    batch and spatial sharding freely: throughput scales over ``data``,
+    single-frame latency drops over ``sp``."""
+    n = data_parallel * spatial_parallel
+    if n <= 1:
+        return None, "data", None
+    from camradepth_tpu.config import MeshConfig
+    from camradepth_tpu.parallel.mesh import create_mesh
+
+    mc = MeshConfig(data_parallel=data_parallel, fsdp_parallel=1,
+                    spatial_parallel=spatial_parallel)
+    devices = jax.devices()
+    if n > len(devices):
+        raise ValueError(
+            f"serving mesh {data_parallel}x{spatial_parallel} needs {n} "
+            f"devices, have {len(devices)}"
+        )
+    mesh = create_mesh(mc, devices[:n])
+    sp_axis = mc.sp_axis if spatial_parallel > 1 else None
+    return mesh, mc.data_axis, sp_axis
+
+
 def load_engine(
-    cfg: ExperimentConfig, checkpoint: str, batch_size: int = 8
+    cfg: ExperimentConfig,
+    checkpoint: str,
+    batch_size: int = 8,
+    mesh=None,
+    batch_axis: str = "data",
+    spatial_axis: Optional[str] = None,
 ) -> DepthEngine:
-    """Engine from an Orbax checkpoint or a reference .pth."""
+    """Engine from an Orbax checkpoint or a reference .pth; pass a mesh
+    (e.g. from ``serving_mesh``) for multi-chip serving."""
     from camradepth_tpu.cli import _load_params
 
     model, params = _load_params(cfg, checkpoint)
-    engine = DepthEngine(cfg, model, params, batch_size=batch_size)
+    engine = DepthEngine(
+        cfg, model, params, batch_size=batch_size, mesh=mesh,
+        batch_axis=batch_axis, spatial_axis=spatial_axis,
+    )
     engine.warmup()
     return engine

@@ -112,6 +112,70 @@ def test_cli_serve_end_to_end(tmp_path):
     assert np.isfinite(d).all()
 
 
+def test_cli_serve_sharded_matches_single_device(tmp_path):
+    """`camradepth serve --data-parallel 2 --spatial-parallel 2` runs the
+    product path on a 2x2 virtual mesh and writes the SAME depth maps as
+    the single-device serve (multi-chip serving is a CLI flag, not just
+    an engine constructor argument)."""
+    import contextlib
+    import dataclasses
+    import io
+    import json
+    import unittest.mock as mock
+
+    from camradepth_tpu import cli
+    from camradepth_tpu.data import synthetic
+    from camradepth_tpu.utils import checkpoint as ck
+
+    cfg = tiny_test_config()
+    split = synthetic.generate(tmp_path / "data", num_frames=5,
+                               hw=cfg.model.img_size, seed=4)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            split_path=str(split),
+            image_dimension=cfg.model.img_size,
+            train_val_split=(2, 1),
+            num_workers=1,
+        )
+    )
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, cfg.model.input_channels)),
+        deterministic=True,
+    )["params"]
+    ckpt_path = ck.save_checkpoint(tmp_path / "ckpt", {"params": params},
+                                   epoch=0, eval_loss=0.5)
+
+    outs = {}
+    for tag, extra in (
+        ("single", []),
+        ("sharded", ["--data-parallel", "2", "--spatial-parallel", "2"]),
+    ):
+        out = tmp_path / f"served_{tag}"
+        argv = [
+            "serve", "--preset", "base",
+            "--checkpoint", str(ckpt_path),
+            "--out", str(out),
+            "--serve-batch", "2", "--limit", "2", *extra,
+        ]
+        with mock.patch.object(cli, "_build_config", lambda a: cfg):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = cli.main(argv)
+        assert rc == 0
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["frames"] == 2
+        outs[tag] = np.stack(
+            [np.load(out / f"{i:05d}_depth.npy") for i in range(2)]
+        )
+    np.testing.assert_allclose(
+        outs["single"], outs["sharded"], rtol=1e-5, atol=1e-5
+    )
+
+
 def test_mesh_sharded_engine_matches_single_device():
     """Multi-chip serving: batch x spatial sharded engine reproduces the
     single-device engine bit-for-bit (GSPMD halo exchanges included)."""
