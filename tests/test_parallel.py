@@ -85,10 +85,21 @@ class TestSpatialParallelForward:
 
 
 class TestGraftDryrun:
-    def test_full_step_on_8_devices(self, devices):
+    def test_full_step_on_8_devices(self, devices, capsys):
+        """The driver entry point, through its REAL path: the wrapper
+        always re-execs a fresh CPU child (the driver env lies about
+        the backend — rounds 1-2 failed on any in-process shortcut,
+        and the XLA:CPU runtime has additionally been seen aborting
+        when the full dryrun runs in a process with prior jit state),
+        and the child must certify BOTH gradcheck-safe training
+        layouts plus the sp inference forward."""
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+        out = capsys.readouterr().out
+        assert "dryrun_multichip OK on 8 devices" in out
+        assert "train_sp_loss=" in out  # sp=2 sole-axis TRAINING layout
+        assert "sp_fwd=" in out
 
 
 class TestTrainerMesh:
