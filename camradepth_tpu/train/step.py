@@ -182,8 +182,25 @@ def make_predict_step(cfg: ExperimentConfig, model) -> Callable:
 def init_state(
     cfg: ExperimentConfig, model, tx: optax.GradientTransformation, rng
 ) -> TrainState:
+    """Initialization, jitted on accelerator backends: on the tunneled
+    TPU, eager model.init dispatches every op through the ~30 ms host
+    round-trip (minutes for the flagship model); one compiled init
+    graph costs a single compile instead. On CPU (the test mesh) eager
+    init is faster than compiling the init graph, and jit-vs-eager
+    produce identical values (threefry PRNG is deterministic under
+    both), so the choice is purely a dispatch-cost one."""
     h, w = cfg.model.img_size
     dummy = jnp.zeros((1, h, w, cfg.model.input_channels), jnp.float32)
-    variables = model.init({"params": rng}, dummy, deterministic=True)
-    params = variables["params"]
-    return TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))
+    if jax.default_backend() == "cpu":
+        params = model.init({"params": rng}, dummy, deterministic=True)[
+            "params"
+        ]
+        opt_state = tx.init(params)
+    else:
+        params = jax.jit(
+            lambda k: model.init(
+                {"params": k}, dummy, deterministic=True
+            )["params"]
+        )(rng)
+        opt_state = jax.jit(tx.init)(params)
+    return TrainState(params, opt_state, jnp.zeros([], jnp.int32))

@@ -67,6 +67,16 @@ class MatmulOp:
 
     @property
     def padded_flops(self) -> float:
+        # Reduction-dominated matmuls (weight-gradient convs in
+        # training graphs: K = batch*image positions in the millions,
+        # output 3x3xCinxCout only thousands of elements) are
+        # layout-free for the compiler: the output is tiny, so it can
+        # transpose/accumulate whichever way packs the MXU without a
+        # meaningful relayout cost — the N->128 lane padding that binds
+        # activation convs (whose NHWC outputs must keep C minor) does
+        # not bind here. Floor them at pure peak.
+        if self.k >= 8 * max(self.m, self.n):
+            return self.flops
         return (
             2.0
             * _ceil_to(self.m, SUBLANES)
@@ -145,6 +155,7 @@ def _walk_jaxpr(jaxpr, out: List[MatmulOp]) -> None:
             outv = eqn.outvars[0].aval
             dn = eqn.params["dimension_numbers"]
             fgc = eqn.params.get("feature_group_count", 1)
+            bgc = eqn.params.get("batch_group_count", 1)
             bits = np.dtype(lhs.dtype).itemsize * 8
             batch = lhs.shape[dn.lhs_spec[0]]
             cin = lhs.shape[dn.lhs_spec[1]]
@@ -152,6 +163,21 @@ def _walk_jaxpr(jaxpr, out: List[MatmulOp]) -> None:
             out_sp = _spatial(outv.shape, dn.out_spec[2:])
             k_sp = _spatial(rhs.shape, dn.rhs_spec[2:])
             m = batch * int(np.prod(out_sp))
+            if bgc > 1:
+                # grouped-over-batch conv: how AD expresses the
+                # WEIGHT gradient of a depthwise conv (groups = C).
+                # The dense [M,K,N] view overcounts flops by the group
+                # count; per-group m divides out, and like the forward
+                # depthwise op it is VPU/bandwidth work, not MXU.
+                bytes_ = (
+                    int(np.prod(lhs.shape)) + int(np.prod(rhs.shape))
+                    + int(np.prod(outv.shape))
+                ) * bits // 8
+                out.append(
+                    MatmulOp("dwgrad", m // bgc, int(np.prod(k_sp)) * cin,
+                             cout, bytes_, bits, bw_only=True)
+                )
+                continue
             if fgc > 1:
                 # depthwise/grouped: each group is its own tiny matmul;
                 # model as VPU/bandwidth-bound (k = taps, n = 1 lane

@@ -16,7 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: the tiny-config train step takes minutes to
-# compile on CPU; cache hits make repeat suite runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/camradepth_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# NO persistent compile cache on the CPU backend: cache entries here are
+# XLA:CPU AOT results whose recorded target-machine features can
+# mismatch the host ("+prefer-no-scatter is not supported ... could
+# lead to execution errors such as SIGILL", cpu_aot_loader.cc), and we
+# observed exactly such hard aborts (Fatal Python error: Aborted inside
+# block_until_ready) in processes that loaded poisoned entries. Suite
+# runs pay the recompiles; the TPU entry points keep their cache.

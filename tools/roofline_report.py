@@ -15,9 +15,6 @@ import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/camradepth_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -27,6 +24,15 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent cache is safe/useful only for the TPU path (CPU
+        # AOT cache entries can SIGILL on feature mismatch — conftest)
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/camradepth_jax_cache"
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5.0
+        )
 
     from camradepth_tpu.config import preset
     from camradepth_tpu.models.camradepth import CamRaDepth
