@@ -38,13 +38,8 @@ from camradepth_tpu.interop.reference_loader import (  # noqa: E402
 HW = (128, 256)
 
 
-def main() -> int:
-    if not reference_available():
-        print("reference checkout not found", file=sys.stderr)
-        return 1
-    import torch
-
-    model = load_reference_model(img_size=HW)  # flagship defaults
+def _run_variant(torch, **model_kw) -> tuple:
+    model = load_reference_model(img_size=HW, **model_kw)
     sd = model.state_dict()
     shapes = {k: tuple(v.shape) for k, v in sd.items()}
     values = synth_state_values(shapes)
@@ -52,32 +47,21 @@ def main() -> int:
         {k: torch.from_numpy(v) for k, v in values.items()}, strict=True
     )
     model.eval()
-
     x = golden_input(HW)  # NHWC
     with torch.no_grad():
         out = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    return shapes, out
 
-    def nhwc(t):
-        return t.numpy().transpose(0, 2, 3, 1).astype(np.float32)
 
-    final = nhwc(out["depth"]["final_depth"])
-    inter = out["depth"]["intermediate_depths"]
-    gold = {
-        "final_depth": final,
-        "inter2": nhwc(inter[2]),
-        "inter3": nhwc(inter[3]),
-    }
+def _nhwc(t):
+    return t.numpy().transpose(0, 2, 3, 1).astype(np.float32)
+
+
+def _write(path, shapes, gold) -> None:
     for k, v in gold.items():
-        print(f"{k}: shape {v.shape} range [{v.min():.6f}, {v.max():.6f}] "
-              f"std {v.std():.6f}")
-        assert np.isfinite(v).all(), k
-    # degenerate outputs (constant maps) would make the parity test
-    # vacuous — require real spread
-    assert final.std() > 1e-4, "final depth map is (near-)constant"
-
-    out_dir = REPO / "tests" / "goldens"
-    out_dir.mkdir(parents=True, exist_ok=True)
-    path = out_dir / "flagship_128x256.npz"
+        print(f"{k}: shape {v.shape} range [{v.min():.6f}, "
+              f"{v.max():.6f}] std {v.std():.6f}")
+        assert np.isfinite(v.astype(np.float64)).all(), k
     np.savez_compressed(
         path,
         shapes_json=np.frombuffer(
@@ -87,6 +71,50 @@ def main() -> int:
     )
     print(f"wrote {path} ({path.stat().st_size / 1e3:.0f} kB, "
           f"{len(shapes)} state_dict keys)")
+
+
+def main() -> int:
+    if not reference_available():
+        print("reference checkout not found", file=sys.stderr)
+        return 1
+    import torch
+
+    out_dir = REPO / "tests" / "goldens"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # base variant: the three depth heads at full precision
+    shapes, out = _run_variant(torch)
+    inter = out["depth"]["intermediate_depths"]
+    gold = {
+        "final_depth": _nhwc(out["depth"]["final_depth"]),
+        "inter2": _nhwc(inter[2]),
+        "inter3": _nhwc(inter[3]),
+    }
+    # degenerate outputs (constant maps) would make the parity test
+    # vacuous — require real spread
+    assert gold["final_depth"].std() > 1e-4
+    _write(out_dir / "flagship_128x256.npz", shapes, gold)
+
+    # sup+unsup seg variant: depth heads consume the seg argmax maps, so
+    # committing depth + argmax maps (+ a center crop of the raw seg
+    # logits) pins the whole guidance path without committing the 21-ch
+    # logit volumes
+    shapes, out = _run_variant(
+        torch, supervised_seg=True, unsupervised_seg=True
+    )
+    seg_logits = _nhwc(out["seg"]["final_seg"])            # [1,H,W,21]
+    unsup_map = _nhwc(out["seg"]["unsup_map"])
+    cy, cx = HW[0] // 2 - 16, HW[1] // 2 - 32
+    gold = {
+        "final_depth": _nhwc(out["depth"]["final_depth"]),
+        "inter2": _nhwc(out["depth"]["intermediate_depths"][2]),
+        "inter3": _nhwc(out["depth"]["intermediate_depths"][3]),
+        "final_seg_argmax": seg_logits.argmax(-1).astype(np.int16),
+        "final_seg_crop": seg_logits[:, cy: cy + 32, cx: cx + 64],
+        "crop_yx": np.asarray([cy, cx], np.int32),
+        "unsup_map": unsup_map,
+    }
+    _write(out_dir / "flagship_seg_128x256.npz", shapes, gold)
     return 0
 
 
