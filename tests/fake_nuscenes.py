@@ -19,9 +19,14 @@ CAM_K = np.array([[800.0, 0, 800.0], [0, 800.0, 450.0], [0, 0, 1.0]])
 
 class FakeNuscenes:
     def __init__(self, n_scenes=2, samples_per_scene=10, seed=0,
-                 rain_scene_idx=None, sweeps_between=4):
+                 rain_scene_idx=None, sweeps_between=4, image_root=None):
+        """``image_root``: when set, actual 900x1600 camera jpgs are
+        written under it (one per CAM_FRONT sample_data record) so the
+        real `images` dataprep stage (cv2.imread + downsample + y-cutoff)
+        can run against this world."""
         rng = np.random.default_rng(seed)
-        self.dataroot = "/nonexistent"
+        self.dataroot = str(image_root) if image_root else "/nonexistent"
+        self._write_images = image_root is not None
         self.scene = []
         self.sample = []
         self._records = {}
@@ -58,6 +63,22 @@ class FakeNuscenes:
     # -- devkit surface -----------------------------------------------------
     def get(self, table: str, token: str):
         return self._records[(table, token)]
+
+    def _write_cam_jpg(self, filename: str, ego_x: float) -> None:
+        """Deterministic 900x1600 scene image: sky/ground split plus a
+        'wall' band whose position tracks the ego (gives LK flow real
+        structure to latch onto)."""
+        import cv2
+        from pathlib import Path
+
+        img = np.full((900, 1600, 3), 96, np.uint8)
+        img[:450] = 180  # sky
+        wall_u = int(max(0, min(1500, 1500 - ego_x * 10)))
+        img[300:650, wall_u: wall_u + 80] = (40, 60, 200)
+        img[700:, :] = 70  # road
+        path = Path(self.dataroot) / filename
+        path.parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(path), img)
 
     def load_radar_points(self, sd_rec) -> np.ndarray:
         return sd_rec["_points"]
@@ -127,16 +148,22 @@ class FakeNuscenes:
             for i in range(n_total):
                 t = t_start + t_offset + i * dt
                 ego_x = 5.0 * (t - self._t0) * 1e-6
+                ext = (
+                    "jpg" if sensor == "cam" and self._write_images
+                    else "bin"
+                )
                 rec = {
                     "ego_pose_token": self._ego_pose(t),
                     "calibrated_sensor_token": cs_token,
                     "timestamp": t,
-                    "filename": f"{sensor}-{scene_tok}-{i}.bin",
+                    "filename": f"{sensor}-{scene_tok}-{i}.{ext}",
                     "prev": "",
                     "next": "",
                 }
                 if make_points is not None:
                     rec["_points"] = make_points(ego_x)
+                if sensor == "cam" and self._write_images:
+                    self._write_cam_jpg(rec["filename"], ego_x)
                 tok = self._add("sample_data", rec)
                 toks.append(tok)
             for i, tok in enumerate(toks):
