@@ -189,6 +189,39 @@ def train_step_ms() -> dict:
     }
 
 
+def tpu_variant_fields() -> dict:
+    """Measure the documented TPU architecture variant
+    (ModelConfig.tpu_decoder: subpixel MXU-aligned decoder stages —
+    models/layers.py TPUDecoder). Benchmarked separately from the
+    parity headline because it is NOT weight-compatible with the
+    reference architecture (same inputs/outputs/losses; encoder and
+    low-res decoder transfer from parity checkpoints)."""
+    import dataclasses
+
+    from camradepth_tpu.config import preset
+    from camradepth_tpu.models.camradepth import CamRaDepth
+
+    mc = dataclasses.replace(preset("base").model, tpu_decoder=True)
+    model = CamRaDepth(mc)
+    h, w = mc.img_size
+    c = mc.input_channels
+    params = jax.jit(
+        lambda k: model.init(
+            {"params": k}, jnp.zeros((1, h, w, c)), deterministic=True
+        )["params"]
+    )(jax.random.PRNGKey(0))
+    fps = timed_fps(model, params, BATCH, SCAN_LEN, (h, w, c))
+    fps1 = timed_fps(model, params, 1, SCAN_LEN, (h, w, c))
+    rf = roofline_fields(model, params, (h, w, c), fps)
+    return {
+        "tpu_variant_fps": round(fps, 1),
+        "tpu_variant_vs_baseline": round(fps / BASELINE_FPS, 2),
+        "tpu_variant_batch1_latency_ms": round(1000.0 / fps1, 2),
+        "tpu_variant_roofline_pct": rf.get("roofline_pct"),
+        "tpu_variant_gflops_per_frame": rf.get("gflops_per_frame"),
+    }
+
+
 def main() -> None:
     import sys
 
@@ -212,8 +245,12 @@ def main() -> None:
     roofline = roofline_fields(model, params, (h, w, c), fps)
 
     extra = {}
+    try:
+        extra.update(tpu_variant_fields())
+    except Exception as e:
+        print(f"# tpu-variant bench failed: {e}", file=sys.stderr)
     if "--train" in sys.argv:
-        extra = train_step_ms()
+        extra.update(train_step_ms())
     print(
         json.dumps(
             {

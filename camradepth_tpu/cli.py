@@ -53,6 +53,14 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
                         "with dummy-masked samples (see --tpu-tuned)")
     p.add_argument("--compute-dtype", default=None,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--tpu-decoder", action="store_true",
+                   help="use the documented TPU architecture variant: "
+                        "half/full-res decoder stages run at their input "
+                        "resolution with 128-wide MXU lane-filling convs "
+                        "and subpixel (depth-to-space) upsampling. NOT "
+                        "weight-compatible with reference checkpoints "
+                        "(encoder + low-res decoder transfer by shape "
+                        "matching); ~2x faster inference on v5e")
     p.add_argument("--max-distances", default=None,
                    help="comma list of metric caps in meters (reference "
                         "default 100,50; caps are configurable per "
@@ -111,6 +119,8 @@ def _build_config(args):
     if getattr(args, "tpu_tuned", False):
         model_kw["remat_encoder"] = True
         model_kw["remat_decoder"] = True
+    if getattr(args, "tpu_decoder", False):
+        model_kw["tpu_decoder"] = True
     if model_kw:
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model, **model_kw)
@@ -257,6 +267,15 @@ def cmd_export(args) -> int:
     cfg = _build_config(args)
     if not args.checkpoint:
         print("error: --checkpoint required for export", file=sys.stderr)
+        return 2
+    if cfg.model.tpu_decoder:
+        print(
+            "error: the TPU architecture variant (--tpu-decoder) has no "
+            "reference-format representation — its subpixel decoder "
+            "stages do not exist in the reference model. Export a "
+            "parity-architecture checkpoint instead.",
+            file=sys.stderr,
+        )
         return 2
     _, params = _load_params(cfg, args.checkpoint, strict=True)
     sd = {

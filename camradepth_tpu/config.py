@@ -94,6 +94,17 @@ class ModelConfig:
     # (~2 ms/frame measured) than the kernel saves standalone (0.6 ->
     # 0.51 ms). Kept for experimentation and large-image regimes.
     use_pallas_resize: bool = False
+    # Documented TPU variant (NOT weight-compatible with the reference
+    # architecture): the half/full-resolution decoder stages
+    # (depth_upsample_3/4, seg_upsample_0/1) and the final depth/seg
+    # heads run at their INPUT resolution with 128-wide MXU
+    # lane-filling layers and learn the x2 upsample as a subpixel
+    # depth-to-space projection (models/layers.py TPUDecoder /
+    # SubpixelDepthActivation). Output shapes and training losses are
+    # unchanged; the full-res skip is injected via space-to-depth.
+    # ~2x faster inference on v5e; transfer from parity checkpoints
+    # restores the encoder + low-res decoder by shape matching.
+    tpu_decoder: bool = False
 
     def __post_init__(self):
         for name in ("dims", "heads", "ff_expansion", "sr_ratios", "depths"):

@@ -33,7 +33,11 @@ from camradepth_tpu.models.layers import (
     Decoder,
     DepthActivation,
     SegConv,
+    SubpixelDepthActivation,
+    TPUDecoder,
+    depth_to_space,
     seg_block,
+    space_to_depth,
 )
 
 Dtype = Any
@@ -99,6 +103,13 @@ class CamRaDepth(nn.Module):
         DecSmall = functools.partial(
             DecSmallCls, use_pallas_resize=cfg.use_pallas_resize
         )
+        # TPU variant: half/full-res stages swap to the MXU-aligned
+        # subpixel decoder (see TPUDecoder docstring / config.py).
+        TDec = (
+            nn.remat(TPUDecoder, static_argnums=())
+            if cfg.remat_decoder
+            else TPUDecoder
+        )
 
         # 1x1 skip convs (CamRaDepth.py:61-64, 109-112).
         enc1 = ConvLayer(cfg.dims[3], 1, 1, 0, dtype=dtype,
@@ -121,7 +132,13 @@ class CamRaDepth(nn.Module):
                                         name="depth_activation_3")(d)
         d = jnp.concatenate([d, inter_depth_3], axis=-1)
 
-        d4 = dropout2d(Dec(mid, dtype=dtype, name="depth_upsample_3")(d))
+        if cfg.tpu_decoder:
+            d4 = dropout2d(
+                TDec(mid, upsample_out=True, dtype=dtype,
+                     name="depth_upsample_3")(d)
+            )
+        else:
+            d4 = dropout2d(Dec(mid, dtype=dtype, name="depth_upsample_3")(d))
 
         seg_features = None
         sup_seg_map = None
@@ -132,9 +149,15 @@ class CamRaDepth(nn.Module):
         use_seg = cfg.supervised_seg or cfg.unsupervised_seg
 
         if use_seg:
-            seg_features = dropout2d(
-                Dec(mid, dtype=dtype, name="seg_upsample_0")(d)
-            )
+            if cfg.tpu_decoder:
+                seg_features = dropout2d(
+                    TDec(mid, upsample_out=True, dtype=dtype,
+                         name="seg_upsample_0")(d)
+                )
+            else:
+                seg_features = dropout2d(
+                    Dec(mid, dtype=dtype, name="seg_upsample_0")(d)
+                )
         if cfg.supervised_seg:
             seg_logits_inter = SegConv(cfg.num_classes, dtype=dtype,
                                        name="seg_conv_stage_4")(seg_features)
@@ -159,32 +182,66 @@ class CamRaDepth(nn.Module):
         d4 = jnp.concatenate([d4, inter_depth_4], axis=-1)
 
         # Final stage with the raw input as skip (CamRaDepth.py:149).
-        d5 = dropout2d(
-            Dec(mid, has_skip=True, dtype=dtype,
-                name="depth_upsample_4")(d4, x)
-        )
-        if use_seg:
-            seg_features = dropout2d(
-                Dec(mid, has_skip=True, dtype=dtype,
-                    name="seg_upsample_1")(seg_features, x)
+        # TPU variant: d5/seg_features stay at HALF resolution (the
+        # skip is folded in via space_to_depth inside TPUDecoder) and
+        # the final heads upsample via subpixel projection, so the
+        # lane-starved full-resolution convolutions disappear entirely.
+        if cfg.tpu_decoder:
+            d5 = dropout2d(
+                TDec(mid, has_skip=True, upsample_out=False, dtype=dtype,
+                     name="depth_upsample_4")(d4, x)
             )
+            if use_seg:
+                seg_features = dropout2d(
+                    TDec(mid, has_skip=True, upsample_out=False,
+                         dtype=dtype, name="seg_upsample_1")(
+                             seg_features, x)
+                )
+        else:
+            d5 = dropout2d(
+                Dec(mid, has_skip=True, dtype=dtype,
+                    name="depth_upsample_4")(d4, x)
+            )
+            if use_seg:
+                seg_features = dropout2d(
+                    Dec(mid, has_skip=True, dtype=dtype,
+                        name="seg_upsample_1")(seg_features, x)
+                )
+        seg_head_mul = 4 if cfg.tpu_decoder else 1
         if cfg.supervised_seg:
-            seg_logits_final = SegConv(cfg.num_classes, dtype=dtype,
-                                       name="seg_conv_final")(seg_features)
+            seg_logits_final = SegConv(
+                seg_head_mul * cfg.num_classes, dtype=dtype,
+                name="seg_conv_final")(seg_features)
+            if cfg.tpu_decoder:
+                seg_logits_final = depth_to_space(seg_logits_final, 2)
             sup_seg_map = seg_block(seg_logits_final, cfg.num_classes)
             seg_map = sup_seg_map
         if cfg.unsupervised_seg:
-            u = SegConv(cfg.unsup_classes, dtype=dtype,
+            u = SegConv(seg_head_mul * cfg.unsup_classes, dtype=dtype,
                         name="unsup_final")(seg_features)
+            if cfg.tpu_decoder:
+                u = depth_to_space(u, 2)
             unsup_map = seg_block(u, cfg.unsup_classes)
             seg_map = (
                 unsup_map if sup_seg_map is None
                 else jnp.concatenate([sup_seg_map, unsup_map], axis=-1)
             )
 
-        tmp = d5 if seg_map is None else jnp.concatenate([d5, seg_map], -1)
-        final_depth = DepthActivation(1, dtype=dtype,
-                                      name="depth_activation_5")(tmp)
+        if cfg.tpu_decoder:
+            # seg guidance re-enters the half-res head via S2D.
+            tmp = (
+                d5 if seg_map is None
+                else jnp.concatenate([d5, space_to_depth(seg_map, 2)], -1)
+            )
+            final_depth = SubpixelDepthActivation(
+                1, dtype=dtype, name="depth_activation_5")(tmp)
+        else:
+            tmp = (
+                d5 if seg_map is None
+                else jnp.concatenate([d5, seg_map], -1)
+            )
+            final_depth = DepthActivation(1, dtype=dtype,
+                                          name="depth_activation_5")(tmp)
 
         f32 = lambda v: None if v is None else v.astype(jnp.float32)
         return {

@@ -215,6 +215,106 @@ class DepthActivation(nn.Module):
         return x
 
 
+def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """NHWC [B,H,W,C] -> [B,H/r,W/r,r*r*C]; channel blocks ordered
+    (row, col, C) so :func:`depth_to_space` is its exact inverse."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """NHWC [B,H,W,r*r*C] -> [B,r*H,r*W,C] (inverse of space_to_depth)."""
+    b, h, w, c = x.shape
+    cc = c // (r * r)
+    x = x.reshape(b, h, w, r, r, cc)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * r, w * r, cc)
+
+
+class TPUDecoder(nn.Module):
+    """MXU-aligned decoder stage for the documented "TPU variant"
+    (``ModelConfig.tpu_decoder``).
+
+    The reference Decoder (utils.py:231-257) upsamples FIRST and then
+    convolves at the doubled resolution with 96/64-channel layers that
+    leave most of the MXU's 128 lanes idle — at 416x800 the final stage
+    alone is ~200 real GMAC (and ~255 lane-padded GMAC) per frame. This
+    stage instead keeps the convolutions at the INPUT resolution with
+    128-wide (lane-filling) layers and learns the x2 upsample as a
+    subpixel depth-to-space projection; the full-resolution skip is
+    folded in via space-to-depth. Same dense shrinking-skip wiring,
+    ~4x less padded MXU work, identical output shape. NOT
+    weight-compatible with the parity Decoder (transfer-learning
+    restores skip these stages by shape matching).
+    """
+
+    features: int            # channels AFTER the optional depth_to_space
+    width: int = 128         # lane-filling hidden width
+    has_skip: bool = False   # skip arrives at 2x the input resolution
+    upsample_out: bool = True  # conv3 emits 4*features, then D2S
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if self.has_skip:
+            assert skip is not None
+            x = jnp.concatenate(
+                [x, space_to_depth(skip.astype(x.dtype), 2)], axis=-1
+            )
+        out = ConvLayer(self.width, dtype=self.dtype, name="conv_0")(x)
+        x = jnp.concatenate([x, out], axis=-1)
+        out = ConvLayer(self.width, dtype=self.dtype, name="conv_1")(x)
+        x = jnp.concatenate([x, out], axis=-1)
+        if self.upsample_out:
+            x = ConvLayer(4 * self.features, dtype=self.dtype,
+                          name="conv_2")(x)
+            return depth_to_space(x, 2)
+        return ConvLayer(self.features, dtype=self.dtype, name="conv_2")(x)
+
+
+class SubpixelDepthActivation(nn.Module):
+    """Depth head for the TPU variant: both convs run at half
+    resolution with lane-filling widths, and the final x2 upsample is a
+    subpixel projection (conv_2 emits ``4*features`` channels ->
+    depth_to_space). Replaces the parity DepthActivation's
+    full-resolution 32-lane convs (utils.py:274-289) for the final
+    head only; intermediate heads keep parity shapes."""
+
+    features: int = 1
+    iter_channels: int = 128
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            self.iter_channels,
+            (3, 3),
+            padding=[(1, 1)] * 2,
+            use_bias=True,
+            kernel_init=torch_default_conv_init,
+            bias_init=_uniform_fan_in_bias(in_ch * 9),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv_1",
+        )(x)
+        x = nn.sigmoid(x)
+        x = nn.Conv(
+            4 * self.features,
+            (3, 3),
+            padding=[(1, 1)] * 2,
+            use_bias=True,
+            kernel_init=torch_default_conv_init,
+            bias_init=_uniform_fan_in_bias(self.iter_channels * 9),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv_2",
+        )(x)
+        return depth_to_space(x, 2)
+
+
 def seg_block(seg_logits: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """argmax/num_classes map (utils.py:87-100). NHWC: class axis is last.
 
