@@ -77,3 +77,21 @@ class TestCLIConfig:
         args = self._args(["--max-distances", "80,40"])
         cfg = _build_config(args)
         assert cfg.data.max_distances == (80.0, 40.0)
+
+    def test_tpu_decoder_flag(self):
+        args = self._args(["--tpu-decoder"])
+        cfg = _build_config(args)
+        assert cfg.model.tpu_decoder
+        assert not _build_config(self._args([])).model.tpu_decoder
+
+    def test_export_refuses_tpu_decoder(self, capsys, tmp_path):
+        # the TPU architecture variant has no reference .pth
+        # representation; export must fail loudly, not write garbage keys
+        rc = cli_main([
+            "export", "--preset", "base", "--tpu-decoder",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--out", str(tmp_path / "out.pth"),
+        ])
+        assert rc == 2
+        assert "tpu-decoder" in capsys.readouterr().err
+        assert not (tmp_path / "out.pth").exists()

@@ -32,19 +32,36 @@ from camradepth_tpu.train.step import init_state, make_train_step
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tuned", action="store_true")
+    ap.add_argument("--tpu-decoder", action="store_true",
+                    help="profile the TPU architecture variant "
+                         "(ModelConfig.tpu_decoder)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="drop remat_encoder/remat_decoder (with "
+                         "--tuned; the TPU variant's small full-res "
+                         "footprint may not need remat)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override microbatch size (with --tuned)")
     ap.add_argument("--trace", default="")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
     cfg = preset("base")
     if args.tuned:
+        b = args.batch or 6
         cfg = cfg.replace(
             model=dataclasses.replace(
-                cfg.model, remat_encoder=True, remat_decoder=True
+                cfg.model,
+                remat_encoder=not args.no_remat,
+                remat_decoder=not args.no_remat,
             ),
             train=dataclasses.replace(
-                cfg.train, batch_size=6, pad_microbatch_to=8
+                cfg.train, batch_size=b, desired_batch_size=b,
+                pad_microbatch_to=8 if b < 8 else None,
             ),
+        )
+    if args.tpu_decoder:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, tpu_decoder=True)
         )
     mc = cfg.model
     H, W = mc.img_size
@@ -69,7 +86,16 @@ def main():
         )
         * 0.1,
     }
-    label = "tuned b6pad8" if args.tuned else f"{mb}x{acc}"
+    label = (
+        f"tuned b{mb}"
+        + (f"pad{cfg.train.pad_microbatch_to}"
+           if cfg.train.pad_microbatch_to else "")
+        if args.tuned else f"{mb}x{acc}"
+    )
+    if args.no_remat:
+        label += " no-remat"
+    if args.tpu_decoder:
+        label += " tpu-decoder"
     print(f"compiling train step ({label})...", flush=True)
     t0 = time.perf_counter()
     state, m = step(state, micro, rng)
