@@ -153,6 +153,82 @@ def test_parity_checkpoint_transfers_encoder():
     assert any("depth_activation_5" in k for k in bad)
 
 
+def test_variant_trains_through_real_step():
+    """The variant drops into the unchanged training recipe
+    (train/step.py): 6 diffGradNorm steps on a fixed synthetic batch
+    reduce the multitask loss."""
+    import dataclasses
+
+    from camradepth_tpu.train.diffgrad import diffgrad_norm
+    from camradepth_tpu.train.schedule import onecycle
+    from camradepth_tpu.train.step import init_state, make_train_step
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, tpu_decoder=True),
+        train=dataclasses.replace(cfg.train, batch_size=2,
+                                  desired_batch_size=2,
+                                  learning_rate=3e-4),
+    )
+    model = create_model(cfg.model)
+    tx = diffgrad_norm(
+        onecycle(cfg.train.learning_rate, total_steps=20,
+                 div_factor=cfg.train.div_factor)
+    )
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, tx, rng)
+    step = jax.jit(make_train_step(cfg, model, tx))
+    h, w = cfg.model.img_size
+    batch = {
+        "features": jax.random.normal(rng, (1, 2, h, w, 7), jnp.float32),
+        "gt_depth": jnp.abs(
+            jax.random.normal(jax.random.PRNGKey(1), (1, 2, h, w))
+        ) * 0.1,
+    }
+    losses = []
+    for i in range(6):
+        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_variant_spatial_parallel_forward_parity():
+    """The variant's space-to-depth / depth-to-space reshapes must
+    compose with H-axis (sp) sharding: GSPMD halo exchanges +
+    reshape resharding reproduce the single-device result bit-for-bit
+    within fp32 tolerance on a 2x4 data x sp virtual mesh."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mc = _variant_cfg()
+    model = create_model(mc)
+    x = jnp.asarray(
+        np.random.default_rng(3)
+        .standard_normal((2, 64, 128, 7))
+        .astype(np.float32)
+    )
+    v = model.init({"params": jax.random.PRNGKey(0)}, x,
+                   deterministic=True)
+    ref = model.apply(v, x, deterministic=True)["depth"]["final_depth"]
+
+    mesh = Mesh(np.asarray(devices[:8]).reshape(2, 4), ("data", "sp"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "sp")))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    fwd = jax.jit(
+        lambda v, x: model.apply(v, x, deterministic=True)["depth"][
+            "final_depth"
+        ],
+        out_shardings=NamedSharding(mesh, P("data", "sp")),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fwd(vs, xs)), np.asarray(ref), atol=5e-6
+    )
+
+
 def test_variant_lane_alignment():
     """Every conv in the TPU variant's swapped stages is 128-lane
     aligned (that is the point of the variant)."""
