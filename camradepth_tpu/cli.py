@@ -65,6 +65,11 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
                    help="comma list of metric caps in meters (reference "
                         "default 100,50; caps are configurable per "
                         "BASELINE.md)")
+    p.add_argument("--train-val-split", default=None, metavar="N_TRAIN,N_VAL",
+                   help="first N_TRAIN split rows train, next N_VAL "
+                        "validate, the rest test (reference hard-codes "
+                        "17902,2237, args.py:137; this flag makes small "
+                        "custom splits usable from the CLI)")
 
 
 def _build_config(args):
@@ -80,6 +85,9 @@ def _build_config(args):
         data_kw["max_distances"] = tuple(
             float(v) for v in args.max_distances.split(",")
         )
+    if getattr(args, "train_val_split", None):
+        n_tr, n_va = (int(v) for v in args.train_val_split.split(","))
+        data_kw["train_val_split"] = (n_tr, n_va)
     if data_kw:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
     train_kw = {}
@@ -315,7 +323,54 @@ def cmd_search(args) -> int:
             "learning_rate": ((1e-5, 1e-3), "log"),
             "weight_decay": ((1e-6, 1e-2), "log"),
         }
-    if args.halving:
+    if getattr(args, "vmap_trials", False):
+        import numpy as np
+
+        from camradepth_tpu.data.pipeline import make_loaders
+        from camradepth_tpu.train.search import vmapped_trials
+        from camradepth_tpu.train.trainer import _BATCH_KEYS
+
+        mesh = None
+        if getattr(args, "data_parallel", None):
+            import jax
+
+            from camradepth_tpu.config import MeshConfig
+            from camradepth_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(
+                MeshConfig(data_parallel=args.data_parallel),
+                jax.devices(),
+            )
+        loaders = make_loaders(cfg.data, cfg.train.batch_size)
+        accum = cfg.train.update_interval
+        it = iter(loaders["train"])
+        batches, mbs = [], []
+        try:
+            while len(batches) < 8:
+                b = next(it)
+                mbs.append({k: b[k] for k in _BATCH_KEYS if k in b})
+                if len(mbs) == accum:
+                    batches.append(
+                        {k: np.stack([m[k] for m in mbs])
+                         for k in mbs[0]}
+                    )
+                    mbs = []
+        except StopIteration:
+            pass
+        if not batches:
+            print("error: train split too small for one optimizer step",
+                  file=sys.stderr)
+            return 2
+        val_batch = None
+        if loaders.get("val") is not None:
+            vb = next(iter(loaders["val"]))
+            val_batch = {k: vb[k] for k in _BATCH_KEYS if k in vb}
+        best, best_loss, results = vmapped_trials(
+            cfg, spaces, num_trials=args.num_trials,
+            num_steps=args.trial_steps, seed=args.seed,
+            batches=batches, val_batch=val_batch, mesh=mesh,
+        )
+    elif args.halving:
         best, best_loss, results = successive_halving_search(
             cfg, spaces, num_trials=args.num_trials,
             min_steps=args.min_steps, max_steps=args.trial_steps,
@@ -484,6 +539,15 @@ def main(argv=None) -> int:
                    help="successive-halving early pruning: all trials "
                         "start at --min-steps, each rung keeps the best "
                         "1/3 with a 3x budget up to --trial-steps")
+    p.add_argument("--vmap-trials", action="store_true",
+                   help="train ALL trials simultaneously as one jitted "
+                        "vmapped program (optimizer hyperparameters "
+                        "only: learning_rate/weight_decay), optionally "
+                        "sharding the trial axis over --data-parallel "
+                        "devices")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="with --vmap-trials: shard the trial axis over "
+                        "this many devices (num-trials must divide)")
     p.add_argument("--min-steps", type=int, default=10,
                    help="rung-0 step budget for --halving")
     p.set_defaults(fn=cmd_search)
