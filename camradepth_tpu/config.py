@@ -151,6 +151,10 @@ class DataConfig:
     rad_vel: bool = True
     radar_uv: bool = False
     gt_uv: bool = False
+    # C++ channel assembly (native/rasterize.cc): bit-exact vs numpy and
+    # GIL-free so loader worker threads scale; auto-falls back to numpy
+    # when the native lib or the frame's dtypes are unsupported.
+    native_assemble: bool = True
 
     @property
     def effective_train_val_split(self) -> Tuple[int, int]:

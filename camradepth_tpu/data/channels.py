@@ -57,19 +57,124 @@ def decode_inverse_depth(encoded: np.ndarray, max_depth: float = 100.0
     return np.where(encoded > 0, max_depth - encoded * max_depth, 0.0)
 
 
+def _order0_indices(h_in: int, w_in: int, shape: tuple):
+    """Row/col gather indices for the order-0 resize (skimage's warp
+    convention: in_coord = (out + 0.5) * in/out - 0.5, then round-half-up
+    to the nearest sample, clipped)."""
+    h_out, w_out = shape
+    rows = (np.arange(h_out) + 0.5) * (h_in / h_out) - 0.5
+    cols = (np.arange(w_out) + 0.5) * (w_in / w_out) - 0.5
+    ri = np.clip(np.floor(rows + 0.5).astype(np.int64), 0, h_in - 1)
+    ci = np.clip(np.floor(cols + 0.5).astype(np.int64), 0, w_in - 1)
+    return ri, ci
+
+
 def resize_order0(img: np.ndarray, shape: tuple) -> np.ndarray:
     """Order-0 (nearest) resize with skimage's coordinate convention
     (resize -> warp: in_coord = (out + 0.5) * in/out - 0.5, then nearest).
     Replaces skimage.transform.resize(..., order=0, preserve_range=True,
     anti_aliasing=False) used for the seg GT (dataloader.py:265-268)."""
-    h_in, w_in = img.shape[:2]
-    h_out, w_out = shape
-    rows = (np.arange(h_out) + 0.5) * (h_in / h_out) - 0.5
-    cols = (np.arange(w_out) + 0.5) * (w_in / w_out) - 0.5
-    # spline order 0 == round-half-up to the nearest sample, clipped
-    ri = np.clip(np.floor(rows + 0.5).astype(np.int64), 0, h_in - 1)
-    ci = np.clip(np.floor(cols + 0.5).astype(np.int64), 0, w_in - 1)
+    ri, ci = _order0_indices(img.shape[0], img.shape[1], shape)
     return img[np.ix_(ri, ci)]
+
+
+_MEAN_F32 = np.asarray(IMAGENET_MEAN, np.float32)
+_STD_F32 = np.asarray(IMAGENET_STD, np.float32)
+
+
+def _assemble_frame_native(
+    arrays: Dict[str, np.ndarray], cfg: DataConfig
+) -> Optional[Dict[str, np.ndarray]]:
+    """C++ fast path for :func:`assemble_frame` (native/rasterize.cc
+    frame-assembly kernels): every channel group is written straight into
+    the preallocated interleaved float32 buffer in one GIL-free pass, so
+    (a) the numpy path's intermediate copies (concat + astype) vanish and
+    (b) BatchLoader worker threads actually run in parallel — numpy holds
+    the GIL through the whole assembly, serializing them. Bit-exact with
+    the numpy path (same op order and rounding; pinned by
+    tests/test_native.py). Returns None when the native lib is missing or
+    a frame's dtype/layout is unsupported — callers fall back to numpy.
+    """
+    from camradepth_tpu import native as nat
+
+    if cfg.sparse_lidar or not nat.available():
+        return None
+    h, w = cfg.image_dimension
+    npix = h * w
+    img = arrays["image"]
+    gt = arrays["gt"]
+    if (img.dtype != np.uint8 or img.shape != (h, w, 3)
+            or not img.flags.c_contiguous):
+        return None
+    if gt.shape[:2] != (h, w):
+        return None
+
+    def f2d(a):
+        """[npix, k] contiguous float32/float64 view, or None."""
+        if a.dtype not in (np.float32, np.float64):
+            return None
+        if a.shape[:2] != (h, w) or not a.flags.c_contiguous:
+            return None
+        return a.reshape(npix, 1 if a.ndim == 2 else a.shape[2])
+
+    # (src2d, ch0, n_ch, use_clip, lo, hi, div) per feature group, in the
+    # numpy path's exact channel order. div=1.0 no-clip groups are pure
+    # casts (x / 1.0 is an IEEE identity).
+    plan = []
+    if cfg.filtered_radar:
+        src = f2d(arrays["radar_filtered"])
+        if src is None:
+            return None
+        # reference hard-codes 100.0 here, not max_depth (dataloader.py)
+        plan.append((src, 0, 1, True, 0.0, 100.0, 100.0))
+    else:
+        radar = f2d(arrays["radar"])
+        if radar is None or radar.shape[1] < 3:
+            return None
+        plan.append((radar, 0, 1, True, 0.0, cfg.max_depth, cfg.max_depth))
+        if cfg.sparse_depth_uv:
+            plan.append((radar, 1, 2, False, 0.0, 0.0, 1.0))
+        if cfg.rad_vel:
+            vel = f2d(arrays["rad_vel"])
+            if vel is None:
+                return None
+            plan.append((vel, 0, 1, False, 0.0, 0.0, 1.0))
+        if cfg.im_uv:
+            uv = f2d(arrays["im_uv"])
+            if uv is None:
+                return None
+            plan.append((uv, 0, 2, False, 0.0, 0.0, 1.0))
+    gtd = np.ascontiguousarray(gt[..., 0])
+    if gtd.dtype not in (np.float32, np.float64):
+        return None
+
+    feats2d = np.empty((npix, 3 + sum(p[2] for p in plan)), np.float32)
+    nat.normalize_image_into(img.reshape(npix, 3), _MEAN_F32, _STD_F32,
+                             feats2d, 0)
+    col = 3
+    for src, ch0, n_ch, use_clip, lo, hi, div in plan:
+        nat.scale_clip_into(src, ch0, n_ch, feats2d, col, use_clip,
+                            lo, hi, div)
+        col += n_ch
+    gt_depth = nat.encode_inverse_depth_native(gtd, cfg.max_depth)
+
+    mseg = arrays["mseg"][:h, :]
+    if mseg.dtype in (np.int64, np.int32) and mseg.flags.c_contiguous:
+        ri, ci = _order0_indices(mseg.shape[0], mseg.shape[1], (h, w))
+        seg = nat.gather_resize_i32(mseg, ri, ci)
+        ri2, ci2 = _order0_indices(mseg.shape[0], mseg.shape[1],
+                                   (h // 2, w // 2))
+        seg_inter = nat.gather_resize_i32(mseg, ri2, ci2)
+    else:
+        seg = resize_order0(mseg, (h, w)).astype(np.int32)
+        seg_inter = resize_order0(mseg, (h // 2, w // 2)).astype(np.int32)
+
+    return {
+        "features": feats2d.reshape(h, w, -1),
+        "gt_depth": gt_depth,
+        "seg": seg,
+        "seg_inter": seg_inter,
+    }
 
 
 def assemble_frame(
@@ -90,6 +195,11 @@ def assemble_frame(
       {"features": HxWxC float32, "gt_depth": HxW float32 (inverse-encoded),
        "seg": HxW int32, "seg_inter": H/2xW/2 int32}
     """
+    if cfg.native_assemble:
+        out = _assemble_frame_native(arrays, cfg)
+        if out is not None:
+            return out
+
     h, w = cfg.image_dimension
     feats = [normalize_image(arrays["image"])]
 

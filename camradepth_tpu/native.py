@@ -63,6 +63,35 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, f64p, f64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, f64p, f64p, ctypes.c_int64,
     ]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.assemble_normalize_u8.argtypes = [
+        u8p, ctypes.c_int64, f32p, f32p, f32p, ctypes.c_int64,
+    ]
+    lib.assemble_scale_clip_f32.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, f32p, ctypes.c_int64,
+    ]
+    lib.assemble_scale_clip_f64.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, f32p, ctypes.c_int64,
+    ]
+    lib.encode_inverse_depth_f32.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_float, f32p,
+    ]
+    lib.encode_inverse_depth_f64.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_double, f32p,
+    ]
+    lib.gather_rows_cols_i64_to_i32.argtypes = [
+        i64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int64, i32p,
+    ]
+    lib.gather_rows_cols_i32_to_i32.argtypes = [
+        i32p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int64, i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -157,3 +186,102 @@ def quantize_pixels_host(x, y, valid, scale: float, h_out: int, w_out: int):
         _ptr(yq, ctypes.c_double),
     )
     return pix, xq, yq
+
+
+# ---------------------------------------------------------------------------
+# Frame-assembly kernels (native/rasterize.cc, frame-assembly section).
+#
+# One pass per channel group, written straight into the caller's
+# preallocated interleaved [npix, C] float32 feature buffer. ctypes
+# releases the GIL for the call's duration, so the BatchLoader's worker
+# threads scale across cores — numpy's ufuncs hold the GIL and serialize
+# them (measured: the numpy assemble is ~33 ms/frame and caps the loader
+# at ~11 fps/core; see data/channels.py). Bit-exact vs the numpy path,
+# pinned by tests/test_native.py.
+
+
+def normalize_image_into(img_u8: np.ndarray, mean: np.ndarray,
+                         std: np.ndarray, out2d: np.ndarray,
+                         col: int) -> None:
+    """(u8/255 - mean)/std into out2d[:, col:col+3]; img_u8 [npix, 3] C-order."""
+    lib = _load()
+    npix, stride = out2d.shape
+    lib.assemble_normalize_u8(
+        _ptr(img_u8, ctypes.c_uint8), npix,
+        _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+        _ptr(out2d[:, col:], ctypes.c_float), stride,
+    )
+
+
+def scale_clip_into(src2d: np.ndarray, ch0: int, n_ch: int,
+                    out2d: np.ndarray, col: int, use_clip: bool,
+                    lo: float, hi: float, div: float) -> None:
+    """out2d[:, col:col+n_ch] = clip?(src2d[:, ch0:ch0+n_ch], lo, hi) / div.
+
+    src2d must be C-contiguous [npix, in_ch] float32 or float64; the
+    computation runs in the INPUT precision and casts at the store,
+    matching numpy's `np.clip(x, lo, hi) / div` then `.astype(float32)`.
+    """
+    lib = _load()
+    npix, stride = out2d.shape
+    in_stride = src2d.shape[1]
+    out = _ptr(out2d[:, col:], ctypes.c_float)
+    if src2d.dtype == np.float32:
+        lib.assemble_scale_clip_f32(
+            _ptr(src2d, ctypes.c_float), npix, in_stride, ch0, n_ch,
+            int(use_clip), lo, hi, div, out, stride,
+        )
+    elif src2d.dtype == np.float64:
+        lib.assemble_scale_clip_f64(
+            _ptr(src2d, ctypes.c_double), npix, in_stride, ch0, n_ch,
+            int(use_clip), lo, hi, div, out, stride,
+        )
+    else:  # pragma: no cover - callers pre-check dtypes
+        raise TypeError(f"unsupported dtype {src2d.dtype}")
+
+
+def encode_inverse_depth_native(depth: np.ndarray,
+                                max_depth: float) -> np.ndarray:
+    """Native channels.encode_inverse_depth; depth [H, W] f32/f64 C-order."""
+    lib = _load()
+    out = np.empty(depth.shape, np.float32)
+    n = depth.size
+    if depth.dtype == np.float32:
+        lib.encode_inverse_depth_f32(
+            _ptr(depth, ctypes.c_float), n, max_depth,
+            _ptr(out, ctypes.c_float),
+        )
+    elif depth.dtype == np.float64:
+        lib.encode_inverse_depth_f64(
+            _ptr(depth, ctypes.c_double), n, max_depth,
+            _ptr(out, ctypes.c_float),
+        )
+    else:  # pragma: no cover - callers pre-check dtypes
+        raise TypeError(f"unsupported dtype {depth.dtype}")
+    return out
+
+
+def gather_resize_i32(img: np.ndarray, ri: np.ndarray,
+                      ci: np.ndarray) -> np.ndarray:
+    """img[np.ix_(ri, ci)].astype(int32) for int32/int64 label maps."""
+    lib = _load()
+    h_out, w_out = len(ri), len(ci)
+    out = np.empty((h_out, w_out), np.int32)
+    ri = np.ascontiguousarray(ri, np.int64)
+    ci = np.ascontiguousarray(ci, np.int64)
+    w_in = img.shape[1]
+    if img.dtype == np.int64:
+        lib.gather_rows_cols_i64_to_i32(
+            _ptr(img, ctypes.c_int64), w_in, _ptr(ri, ctypes.c_int64),
+            _ptr(ci, ctypes.c_int64), h_out, w_out,
+            _ptr(out, ctypes.c_int32),
+        )
+    elif img.dtype == np.int32:
+        lib.gather_rows_cols_i32_to_i32(
+            _ptr(img, ctypes.c_int32), w_in, _ptr(ri, ctypes.c_int64),
+            _ptr(ci, ctypes.c_int64), h_out, w_out,
+            _ptr(out, ctypes.c_int32),
+        )
+    else:  # pragma: no cover - callers pre-check dtypes
+        raise TypeError(f"unsupported dtype {img.dtype}")
+    return out

@@ -102,4 +102,121 @@ void raster_min_depth_batch(const int64_t* pix, const double* depth,
   for (auto& th : pool) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Frame-assembly kernels for the training input pipeline.
+//
+// The per-frame channel assembly (data/channels.py assemble_frame) is
+// numpy-bound: ~33 ms/frame of redundant float passes and copies, all
+// holding the GIL, so the BatchLoader's worker threads serialize and the
+// loader cannot feed the measured train step (CLAUDE.md perf ledger).
+// These kernels write each channel group straight into the preallocated
+// interleaved [H*W, C] float32 feature buffer in one pass, with numpy's
+// exact op order/precision (bit-identical outputs, pinned by
+// tests/test_native.py), and run GIL-free under ctypes so worker threads
+// scale across cores. Reference semantics: dataloader.py:225-289.
+
+// (u8/255 - mean[c]) / std[c], BGR interleaved -> strided float32.
+// Matches numpy f32 op order exactly: divide, subtract, divide.
+void assemble_normalize_u8(const uint8_t* img, int64_t npix,
+                           const float* mean, const float* stddev,
+                           float* out, int64_t out_stride) {
+  for (int64_t i = 0; i < npix; ++i) {
+    const uint8_t* p = img + i * 3;
+    float* o = out + i * out_stride;
+    for (int c = 0; c < 3; ++c)
+      o[c] = (static_cast<float>(p[c]) / 255.0f - mean[c]) / stddev[c];
+  }
+}
+
+// Copy n_ch channels [ch0, ch0+n_ch) from a strided float32 input into the
+// strided output, optionally clip to [lo, hi] then DIVIDE by div (numpy's
+// `np.clip(x, lo, hi) / div` is a division — reproduce it, not a
+// multiply-by-reciprocal). NaN propagates through the clip as in np.clip.
+void assemble_scale_clip_f32(const float* in, int64_t npix, int64_t in_stride,
+                             int64_t ch0, int64_t n_ch, int use_clip,
+                             float lo, float hi, float div,
+                             float* out, int64_t out_stride) {
+  for (int64_t i = 0; i < npix; ++i) {
+    const float* p = in + i * in_stride + ch0;
+    float* o = out + i * out_stride;
+    for (int64_t c = 0; c < n_ch; ++c) {
+      float v = p[c];
+      if (use_clip) {
+        if (v < lo) v = lo;
+        if (v > hi) v = hi;
+      }
+      o[c] = v / div;
+    }
+  }
+}
+
+// Same, float64 input: compute in double (numpy keeps the input dtype
+// through clip/divide), cast to float32 at the store (astype).
+void assemble_scale_clip_f64(const double* in, int64_t npix,
+                             int64_t in_stride, int64_t ch0, int64_t n_ch,
+                             int use_clip, double lo, double hi, double div,
+                             float* out, int64_t out_stride) {
+  for (int64_t i = 0; i < npix; ++i) {
+    const double* p = in + i * in_stride + ch0;
+    float* o = out + i * out_stride;
+    for (int64_t c = 0; c < n_ch; ++c) {
+      double v = p[c];
+      if (use_clip) {
+        if (v < lo) v = lo;
+        if (v > hi) v = hi;
+      }
+      o[c] = static_cast<float>(v / div);
+    }
+  }
+}
+
+// GT inverse-depth encoding (dataloader.py:240-245, channels.py
+// encode_inverse_depth): d = clip(depth, 0, max); out = d > 0 ?
+// (max - d) / max : 0. float32 input -> float32.
+void encode_inverse_depth_f32(const float* depth, int64_t npix, float maxd,
+                              float* out) {
+  for (int64_t i = 0; i < npix; ++i) {
+    float d = depth[i];
+    if (d < 0.0f) d = 0.0f;
+    if (d > maxd) d = maxd;
+    out[i] = (d > 0.0f) ? (maxd - d) / maxd : 0.0f;
+  }
+}
+
+// float64 input: compute in double, cast at the store (numpy astype).
+void encode_inverse_depth_f64(const double* depth, int64_t npix, double maxd,
+                              float* out) {
+  for (int64_t i = 0; i < npix; ++i) {
+    double d = depth[i];
+    if (d < 0.0) d = 0.0;
+    if (d > maxd) d = maxd;
+    out[i] = (d > 0.0) ? static_cast<float>((maxd - d) / maxd) : 0.0f;
+  }
+}
+
+// Nearest-neighbor gather for the seg-label resize: row/col indices are
+// precomputed in Python (skimage order-0 convention, channels.py
+// resize_order0), this is just the GIL-free int gather + int32 cast.
+void gather_rows_cols_i64_to_i32(const int64_t* in, int64_t w_in,
+                                 const int64_t* ri, const int64_t* ci,
+                                 int64_t h_out, int64_t w_out, int32_t* out) {
+  for (int64_t r = 0; r < h_out; ++r) {
+    const int64_t* row = in + ri[r] * w_in;
+    int32_t* o = out + r * w_out;
+    for (int64_t c = 0; c < w_out; ++c)
+      o[c] = static_cast<int32_t>(row[ci[c]]);
+  }
+}
+
+void gather_rows_cols_i32_to_i32(const int32_t* in, int64_t w_in,
+                                 const int64_t* ri, const int64_t* ci,
+                                 int64_t h_out, int64_t w_out, int32_t* out) {
+  for (int64_t r = 0; r < h_out; ++r) {
+    const int32_t* row = in + ri[r] * w_in;
+    int32_t* o = out + r * w_out;
+    for (int64_t c = 0; c < w_out; ++c)
+      o[c] = row[ci[c]];
+  }
+}
+
 }  // extern "C"

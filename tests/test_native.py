@@ -82,3 +82,106 @@ class TestNative:
                 out[p] = depth[i]
         t_py = time.perf_counter() - t0
         assert t_native * 10 < t_py, (t_native, t_py)
+
+
+class TestAssembleKernels:
+    """C++ frame-assembly fast path (native/rasterize.cc frame-assembly
+    kernels; channels._assemble_frame_native). The contract is BIT
+    exactness with the numpy path — the loader switches silently, so any
+    rounding drift would contaminate every downstream parity test."""
+
+    H, W = 64, 128
+
+    def _arrays(self, rng, fdtype, mdtype):
+        h, w = self.H, self.W
+        a = {
+            "image": rng.integers(0, 256, (h, w, 3)).astype(np.uint8),
+            "gt": rng.uniform(-5, 150, (h, w, 3)).astype(fdtype),
+            "mseg": rng.integers(0, 21, (h + 8, w)).astype(mdtype),
+            "radar": rng.uniform(-5, 150, (h, w, 3)).astype(fdtype),
+            "rad_vel": rng.uniform(0, 1, (h, w)).astype(fdtype),
+            "im_uv": rng.normal(0, 1, (h, w, 2)).astype(fdtype),
+            "radar_filtered": rng.uniform(-5, 150, (h, w)).astype(fdtype),
+        }
+        # NaNs must flow through clip/where identically in both paths
+        a["radar"][0, 0, 0] = np.nan
+        a["gt"][0, 1, 0] = np.nan
+        return a
+
+    def _configs(self):
+        import dataclasses
+
+        from camradepth_tpu.config import DataConfig
+
+        base = DataConfig(image_dimension=(self.H, self.W))
+        return {
+            "base": base,
+            "filtered": dataclasses.replace(base, filtered_radar=True),
+            "im_uv": dataclasses.replace(base, im_uv=True),
+            "rgbd_only": dataclasses.replace(
+                base, sparse_depth_uv=False, rad_vel=False
+            ),
+        }
+
+    def test_bit_exact_across_variants_and_dtypes(self):
+        import dataclasses
+
+        import pytest
+
+        from camradepth_tpu.data import channels as ch
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(0)
+        for fdtype in (np.float32, np.float64):
+            for mdtype in (np.int64, np.int32, np.uint8):
+                arrays = self._arrays(rng, fdtype, mdtype)
+                for name, cfg in self._configs().items():
+                    nat_out = ch.assemble_frame(
+                        arrays,
+                        dataclasses.replace(cfg, native_assemble=True),
+                    )
+                    np_out = ch.assemble_frame(
+                        arrays,
+                        dataclasses.replace(cfg, native_assemble=False),
+                    )
+                    assert set(nat_out) == set(np_out)
+                    for k in np_out:
+                        assert nat_out[k].dtype == np_out[k].dtype, (
+                            name, fdtype, mdtype, k,
+                        )
+                        np.testing.assert_array_equal(
+                            nat_out[k], np_out[k],
+                            err_msg=f"{name} {fdtype} {mdtype} {k}",
+                        )
+
+    def test_unsupported_dtype_falls_back(self):
+        """A float16 radar frame can't ride the native kernels; the
+        dispatcher must return the numpy result, not crash."""
+        import dataclasses
+
+        from camradepth_tpu.data import channels as ch
+
+        rng = np.random.default_rng(1)
+        arrays = self._arrays(rng, np.float32, np.int64)
+        arrays["radar"] = arrays["radar"].astype(np.float16)
+        cfg = self._configs()["base"]
+        out = ch.assemble_frame(
+            arrays, dataclasses.replace(cfg, native_assemble=True)
+        )
+        ref = ch.assemble_frame(
+            arrays, dataclasses.replace(cfg, native_assemble=False)
+        )
+        np.testing.assert_array_equal(out["features"], ref["features"])
+
+    def test_sparse_lidar_stays_numpy(self):
+        """The random-mask sparse-lidar mode is rng-driven and must not
+        take the native path."""
+        import dataclasses
+
+        from camradepth_tpu.data import channels as ch
+
+        cfg = dataclasses.replace(
+            self._configs()["base"], sparse_lidar=True
+        )
+        assert ch._assemble_frame_native({}, cfg) is None
