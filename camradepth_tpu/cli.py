@@ -403,6 +403,10 @@ def cmd_serve(args) -> int:
     from camradepth_tpu.serving import load_engine, serving_mesh
 
     cfg = _build_config(args)
+    if not args.checkpoint:
+        print("error: --checkpoint required for serve (Orbax dir or "
+              "reference .pth)", file=sys.stderr)
+        return 2
     dp = getattr(args, "data_parallel", None) or 1
     sp = getattr(args, "spatial_parallel", None) or 1
     if dp > 1 and args.serve_batch % dp:

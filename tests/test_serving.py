@@ -202,3 +202,13 @@ def test_mesh_sharded_engine_matches_single_device():
     np.testing.assert_allclose(
         ref["depth"], out["depth"], atol=1e-5, rtol=1e-5
     )
+
+
+def test_cli_serve_requires_checkpoint(capsys):
+    """serve without --checkpoint must exit 2 with a clear message, not
+    crash in load_engine (serving random weights is never intended)."""
+    from camradepth_tpu import cli
+
+    rc = cli.main(["serve", "--preset", "base"])
+    assert rc == 2
+    assert "--checkpoint" in capsys.readouterr().err
