@@ -185,3 +185,20 @@ class TestAssembleKernels:
             self._configs()["base"], sparse_lidar=True
         )
         assert ch._assemble_frame_native({}, cfg) is None
+
+    def test_default_config_routes_native(self):
+        """The shipped artifact dtypes (f32 floats, int mseg, u8 jpg)
+        must take the native path under the default config — a silent
+        numpy fallback here would be a 6x loader regression with no
+        functional symptom."""
+        import pytest
+
+        from camradepth_tpu.data import channels as ch
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(2)
+        arrays = self._arrays(rng, np.float32, np.int64)
+        out = ch._assemble_frame_native(arrays, self._configs()["base"])
+        assert out is not None
+        assert out["features"].shape == (self.H, self.W, 7)
