@@ -45,12 +45,61 @@ tools/trace_report.py.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def probe_backend(
+    attempts: int = 6,
+    probe_timeout_s: float = 90.0,
+    sleep_s: float = 45.0,
+    code: str = "import jax; print(jax.devices()[0].platform)",
+) -> None:
+    """Wait (bounded) for the JAX backend to come up before benchmarking.
+
+    The axon TPU tunnel flaps: when it is down, backend init HANGS
+    inside jax.devices() rather than raising, so a bench run would sit
+    until the driver's timeout with no diagnostics. Probe backend init
+    in a short-timeout subprocess and retry with a fixed backoff — a
+    flapping tunnel gets a bounded second chance (~13 min worst case
+    with the defaults), a dead one fails fast with a clear message.
+    The probe process exits before we proceed, so it never contends
+    with this process for the single TPU.
+    """
+    import subprocess
+    import sys
+
+    last = "no probe ran"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout_s,
+            )
+            if proc.returncode == 0:
+                return
+            last = f"rc={proc.returncode}: {proc.stderr.strip()[-500:]}"
+        except subprocess.TimeoutExpired:
+            last = f"backend init hung > {probe_timeout_s:.0f}s (tunnel down?)"
+        if i + 1 < attempts:
+            print(
+                f"# backend probe {i + 1}/{attempts} failed ({last}); "
+                f"retrying in {sleep_s:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(sleep_s)
+    raise SystemExit(
+        f"bench: JAX backend unreachable after {attempts} probes — {last}. "
+        "If this is the axon tunnel, retry later (bench itself is healthy; "
+        "see CLAUDE.md round-3 notes)."
+    )
 
 
 def _baseline_fps() -> float:
@@ -224,6 +273,18 @@ def tpu_variant_fields() -> dict:
 
 def main() -> None:
     import sys
+
+    probe_backend()
+    # Persistent compile cache — TPU entry points only (XLA:CPU AOT cache
+    # entries can SIGILL on this host, see CLAUDE.md); bench on the CPU
+    # backend is a dev-only path and stays cache-less.
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/camradepth_jax_cache"
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5.0
+        )
 
     from camradepth_tpu.config import preset
     from camradepth_tpu.models.camradepth import CamRaDepth
