@@ -70,6 +70,15 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
                         "validate, the rest test (reference hard-codes "
                         "17902,2237, args.py:137; this flag makes small "
                         "custom splits usable from the CLI)")
+    p.add_argument("--set", action="append", dest="set_overrides",
+                   default=None, metavar="SECTION.FIELD=VALUE",
+                   help="override any config field by dotted path, e.g. "
+                        "--set train.early_stopping_thresh=10 "
+                        "--set data.num_workers=4 "
+                        "--set model.groupnorm_divisor=8; repeatable, "
+                        "applied after all other flags (sections: model, "
+                        "data, train, mesh; full reference-flag mapping "
+                        "in docs/MIGRATION.md)")
 
 
 def _build_config(args):
@@ -133,6 +142,8 @@ def _build_config(args):
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model, **model_kw)
         )
+    if getattr(args, "set_overrides", None):
+        cfg = C.apply_overrides(cfg, args.set_overrides)
     return cfg
 
 
@@ -581,7 +592,13 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except ValueError as e:
+        # config-building errors (bad --set path/value, preset invariant
+        # violations) are user errors, not crashes
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -298,6 +298,101 @@ def preset(name: str, **overrides) -> ExperimentConfig:
     return cfg
 
 
+def _coerce_override(raw: str, current):
+    """Parse an override string against the current field value's type.
+
+    'none'/'null' clears optional fields; bools accept 1/0/true/false/
+    yes/no/on/off; tuples take comma lists with per-element coercion
+    (ints stay ints unless the value needs a float); everything the
+    current value can't type (None-default str fields like
+    ``train.checkpoint``) falls back to the raw string.
+    """
+    s = raw.strip()
+    if s.lower() in ("none", "null"):
+        return None
+    if isinstance(current, bool):
+        low = s.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"expected a boolean, got {raw!r}")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(s)
+    if isinstance(current, float):
+        return float(s)
+    if isinstance(current, tuple):
+        parts = [p.strip() for p in s.strip("()").split(",") if p.strip()]
+        ref = list(current) + [current[-1] if current else ""] * (
+            len(parts) - len(current)
+        )
+        out = []
+        for p, r in zip(parts, ref):
+            if isinstance(r, str):
+                out.append(p)
+            elif isinstance(r, bool):
+                out.append(_coerce_override(p, r))
+            else:
+                f = float(p)
+                out.append(int(f) if isinstance(r, int) and f == int(f)
+                           else f)
+        return tuple(out)
+    if isinstance(current, str):
+        return s
+    # current is None (untyped optional): prefer numbers, else string
+    try:
+        f = float(s)
+        return int(f) if f == int(f) and "." not in s else f
+    except ValueError:
+        return s
+
+
+def apply_overrides(cfg: ExperimentConfig, pairs) -> ExperimentConfig:
+    """Hydra-style dotted config overrides: ``train.stop_after=5``.
+
+    Every reference argparse option (args.py:11-66) maps to a field of
+    this config tree; the CLI exposes the common ones as dedicated flags
+    and ``--set section.field=value`` covers the rest (full flag table:
+    docs/MIGRATION.md). Sections: model, data, train, mesh, plus the
+    top-level ``name``. Values are coerced against the current field's
+    type, and dataclass ``__post_init__`` invariants re-run on replace.
+    """
+    sections = ("model", "data", "train", "mesh")
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(
+                f"--set expects section.field=value, got {pair!r}"
+            )
+        path, _, raw = pair.partition("=")
+        path = path.strip()
+        if "." not in path:
+            if path != "name":
+                raise ValueError(
+                    f"--set path {path!r} must be section.field with "
+                    f"section in {sections} (or 'name')"
+                )
+            cfg = cfg.replace(name=raw.strip())
+            continue
+        section, _, fname = path.partition(".")
+        if section not in sections:
+            raise ValueError(
+                f"unknown config section {section!r}; choose from "
+                f"{sections}"
+            )
+        sub = getattr(cfg, section)
+        valid = {f.name for f in dataclasses.fields(sub)}
+        if fname not in valid:
+            raise ValueError(
+                f"unknown field {section}.{fname}; available: "
+                f"{sorted(valid)}"
+            )
+        value = _coerce_override(raw, getattr(sub, fname))
+        cfg = cfg.replace(
+            **{section: dataclasses.replace(sub, **{fname: value})}
+        )
+    return cfg
+
+
 def num_epochs_for_steps(cfg: ExperimentConfig) -> int:
     """Auto-derived epoch count when training is step-budgeted
     (args.py:141-143)."""

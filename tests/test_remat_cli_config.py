@@ -95,3 +95,77 @@ class TestCLIConfig:
         assert rc == 2
         assert "tpu-decoder" in capsys.readouterr().err
         assert not (tmp_path / "out.pth").exists()
+
+
+class TestSetOverrides:
+    """--set SECTION.FIELD=VALUE dotted overrides (config.apply_overrides):
+    every reference argparse option without a dedicated CLI flag is
+    reachable this way (docs/MIGRATION.md maps args.py:11-66 line by
+    line)."""
+
+    def _cfg(self, sets, extra=()):
+        import argparse
+
+        from camradepth_tpu import cli
+
+        parser = argparse.ArgumentParser()
+        sub = parser.add_subparsers(dest="command")
+        p = sub.add_parser("train")
+        cli._add_common_model_flags(p)
+        argv = ["train", *extra]
+        for s in sets:
+            argv += ["--set", s]
+        return _build_config(parser.parse_args(argv))
+
+    def test_int_float_bool_str_fields(self):
+        cfg = self._cfg([
+            "train.early_stopping_thresh=10",
+            "train.weight_decay=0.01",
+            "data.native_assemble=false",
+            "train.arch_name=MyRun",
+            "data.num_workers=4",
+        ])
+        assert cfg.train.early_stopping_thresh == 10
+        assert cfg.train.weight_decay == 0.01
+        assert cfg.data.native_assemble is False
+        assert cfg.train.arch_name == "MyRun"
+        assert cfg.data.num_workers == 4
+
+    def test_tuple_and_none_fields(self):
+        cfg = self._cfg([
+            "data.max_distances=80,50",
+            "data.train_val_split=6,2",
+            "train.num_steps=none",
+            "train.loss_weights=1,1,1,0.5,0.5",
+        ])
+        assert cfg.data.max_distances == (80.0, 50.0)
+        assert cfg.data.train_val_split == (6, 2)
+        assert cfg.train.num_steps is None
+        assert cfg.train.loss_weights == (1, 1, 1, 0.5, 0.5)
+
+    def test_applies_after_dedicated_flags(self):
+        cfg = self._cfg(["train.learning_rate=3e-4"],
+                        extra=["--learning-rate", "1e-4"])
+        assert cfg.train.learning_rate == 3e-4
+
+    def test_unknown_field_and_section_raise(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown field"):
+            self._cfg(["train.not_a_field=1"])
+        with pytest.raises(ValueError, match="unknown config section"):
+            self._cfg(["optim.lr=1"])
+        with pytest.raises(ValueError, match="section.field=value"):
+            self._cfg(["train.learning_rate"])
+
+    def test_post_init_invariants_still_run(self):
+        import pytest
+
+        # desired_batch_size must stay a multiple of batch_size
+        with pytest.raises(ValueError, match="multiple"):
+            self._cfg(["train.batch_size=4"])  # desired stays 6
+
+    def test_mesh_and_name(self):
+        cfg = self._cfg(["mesh.spatial_parallel=2", "name=exp42"])
+        assert cfg.mesh.spatial_parallel == 2
+        assert cfg.name == "exp42"
