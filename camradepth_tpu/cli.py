@@ -464,6 +464,61 @@ def cmd_serve(args) -> int:
 
 
 
+def cmd_summary(args) -> int:
+    """Model summary: per-module parameter table + analytic per-frame
+    FLOPs and the MXU-attainable floor (utils/roofline.py). The
+    reference prints a torchinfo summary in its __main__ smoke block
+    (CamRaDepth.py:179-180); this is the product-path equivalent, and it
+    runs shape-only — no weights are materialized, no device is claimed,
+    so it is safe on the login host while the TPU is busy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from camradepth_tpu.models.camradepth import CamRaDepth
+    from camradepth_tpu.utils import roofline as rl
+
+    cfg = _build_config(args)
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    b = args.summary_batch
+    x = jax.ShapeDtypeStruct((b, h, w, cfg.model.input_channels),
+                             jnp.float32)
+    variables = jax.eval_shape(
+        lambda key, xx: model.init({"params": key}, xx,
+                                   deterministic=True),
+        jax.ShapeDtypeStruct((2,), jnp.uint32), x,
+    )
+    params = variables["params"]
+
+    def count(tree):
+        return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tree))
+
+    total = count(params)
+    print(f"CamRaDepth preset={cfg.name} img={h}x{w} "
+          f"in_ch={cfg.model.input_channels} depths={cfg.model.depths}"
+          + (" [tpu_decoder]" if cfg.model.tpu_decoder else ""))
+    print(f"{'module':<40}{'params':>14}")
+    for name in sorted(params):
+        print(f"{name:<40}{count(params[name]):>14,}")
+    print(f"{'TOTAL':<40}{total:>14,}  "
+          f"({total * 4 / 1e6:.1f} MB fp32)")
+
+    def fwd(p, xx):
+        return model.apply({"params": p}, xx, deterministic=True)[
+            "depth"
+        ]["final_depth"]
+
+    r = rl.analyze(fwd, params, x)
+    gf = sum(op.flops for op in r.matmuls) / b / 1e9
+    floor_ms = r.t_matmul_floor / b * 1e3
+    print(f"matmul GFLOPs/frame: {gf:.1f}  "
+          f"(MXU lane/sublane-padded attainable floor at batch {b}: "
+          f"{floor_ms:.2f} ms/frame on v5e — compute term only; "
+          f"bench.py adds the HBM bytes term)")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
 
@@ -587,6 +642,17 @@ def main(argv=None) -> int:
                         "latency). Combinable with --data-parallel — "
                         "inference is exact under any sp layout")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "summary",
+        help="model summary: per-module params + analytic FLOPs/floor "
+             "(shape-only; claims no device)",
+    )
+    _add_common_model_flags(p)
+    p.add_argument("--summary-batch", type=int, default=8,
+                   help="batch size for the FLOPs/floor analysis "
+                        "(matches bench.py's headline batch)")
+    p.set_defaults(fn=cmd_summary)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

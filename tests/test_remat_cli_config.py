@@ -169,3 +169,41 @@ class TestSetOverrides:
         cfg = self._cfg(["mesh.spatial_parallel=2", "name=exp42"])
         assert cfg.mesh.spatial_parallel == 2
         assert cfg.name == "exp42"
+
+
+class TestSummaryCommand:
+    """cli summary: shape-only param/FLOPs report (reference torchinfo
+    smoke block, CamRaDepth.py:179-180, as a product subcommand)."""
+
+    def test_summary_tiny_via_set_overrides(self, capsys):
+        rc = cli_main([
+            "summary",
+            "--set", "model.img_size=64,128",
+            "--set", "data.image_dimension=64,128",
+            "--set", "model.depths=1,1,1,1",
+            "--set", "model.dims=16,32,32,64",
+            "--set", "model.ff_expansion=2,2,2,2",
+            "--set", "model.mid_channels=32",
+            "--summary-batch", "2",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "TOTAL" in out and "dest_encoder" in out
+        assert "matmul GFLOPs/frame" in out
+        # param count parses and is positive
+        total = int(out.split("TOTAL")[1].split("(")[0].strip()
+                    .replace(",", ""))
+        assert total > 10_000
+
+    def test_summary_tpu_decoder_flagged(self, capsys):
+        rc = cli_main([
+            "summary", "--tpu-decoder",
+            "--set", "model.img_size=64,128",
+            "--set", "model.depths=1,1,1,1",
+            "--set", "model.dims=16,32,32,64",
+            "--set", "model.ff_expansion=2,2,2,2",
+            "--set", "model.mid_channels=32",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "[tpu_decoder]" in out
