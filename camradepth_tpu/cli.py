@@ -519,6 +519,77 @@ def cmd_summary(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment health report. Backend init HANGS (not errors) when
+    the tunneled TPU is unreachable, so every backend touch happens in a
+    bounded-timeout subprocess — doctor never hangs and never leaves
+    this process holding the chip."""
+    import shutil
+    import subprocess
+
+    import os
+
+    ok = True
+    # The axon sitecustomize wins backend selection over the env var;
+    # an explicitly CPU-targeted doctor must force the config update
+    # before backend init (same landmine as __graft_entry__'s dryrun).
+    force_cpu = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        if "cpu" in os.environ.get("JAX_PLATFORMS", "") else ""
+    )
+    code = force_cpu + (
+        "import jax\n"
+        "ds = jax.devices()\n"
+        "print('backend:', jax.default_backend(),"
+        " '| jax', jax.__version__)\n"
+        "print('devices:', ', '.join(f'{d.id}:{d.device_kind}'"
+        " for d in ds))\n"
+        "try:\n"
+        "    ms = ds[0].memory_stats() or {}\n"
+        "    lim = ms.get('bytes_limit')\n"
+        "    if lim: print(f'hbm: {lim/2**30:.2f} GiB/device')\n"
+        "except Exception:\n"
+        "    pass\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=args.timeout,
+        )
+        if proc.returncode == 0:
+            print(proc.stdout, end="")
+        else:
+            ok = False
+            print(f"backend: FAILED rc={proc.returncode}: "
+                  f"{proc.stderr.strip()[-300:]}")
+    except subprocess.TimeoutExpired:
+        ok = False
+        print(f"backend: UNREACHABLE (init hung > {args.timeout:.0f}s — "
+              "tunnel down or another process holds the chip)")
+
+    from camradepth_tpu import native
+
+    print(f"native C++ kernels: "
+          f"{'ok' if native.available() else 'MISSING (numpy fallback)'}")
+    for mod, why in (("cv2", "jpg decode (loader, prep)"),
+                     ("torch", "checkpoint import/export, adapters"),
+                     ("nuscenes", "offline prep only")):
+        try:
+            __import__(mod)
+            print(f"{mod}: ok ({why})")
+        except ImportError:
+            print(f"{mod}: missing ({why})")
+    cache = Path("/tmp/camradepth_jax_cache")
+    if cache.is_dir():
+        n = sum(1 for _ in cache.iterdir())
+        print(f"compile cache: {n} entries at {cache}")
+    else:
+        print("compile cache: empty (first TPU compiles will be slow)")
+    free_gb = shutil.disk_usage("/tmp").free / 2 ** 30
+    print(f"/tmp free: {free_gb:.1f} GiB")
+    return 0 if ok else 1
+
+
 def cmd_bench(args) -> int:
     import importlib.util
 
@@ -653,6 +724,16 @@ def main(argv=None) -> int:
                    help="batch size for the FLOPs/floor analysis "
                         "(matches bench.py's headline batch)")
     p.set_defaults(fn=cmd_summary)
+
+    p = sub.add_parser(
+        "doctor",
+        help="environment health report (bounded backend probe, "
+             "native kernels, optional deps, compile cache)",
+    )
+    p.add_argument("--timeout", type=float, default=60.0,
+                   help="seconds to wait for backend init before "
+                        "declaring the device unreachable")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

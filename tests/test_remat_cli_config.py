@@ -207,3 +207,17 @@ class TestSummaryCommand:
         out = capsys.readouterr().out
         assert rc == 0
         assert "[tpu_decoder]" in out
+
+
+class TestDoctorCommand:
+    """cli doctor: bounded environment health report. Under the test env
+    (JAX_PLATFORMS=cpu) the probe subprocess must force the cpu backend
+    past the axon sitecustomize — the same landmine the dryrun defuses."""
+
+    def test_doctor_cpu_backend(self, capsys):
+        rc = cli_main(["doctor", "--timeout", "240"])
+        out = capsys.readouterr().out
+        assert "backend: cpu" in out, out
+        assert "native C++ kernels" in out
+        assert "compile cache" in out
+        assert rc == 0
