@@ -519,6 +519,37 @@ def cmd_summary(args) -> int:
     return 0
 
 
+def cmd_validate_data(args) -> int:
+    """Artifact-contract checker for a prepared dataset. The reference
+    builds split tables by zipping independently-globbed sorted lists
+    (create_a_split_file.py:40-67), so one missing artifact silently
+    shifts every later row's columns and the model trains on misaligned
+    frames — this catches that (and shape/dtype/readability problems)
+    before a training run burns chip time."""
+    from camradepth_tpu.data.split import (
+        build_split_from_dir,
+        load_split,
+        validate_split,
+    )
+
+    if bool(args.split) == bool(args.data_dir):
+        print("error: give exactly one of --split / --data-dir",
+              file=sys.stderr)
+        return 2
+    rows = (load_split(args.split) if args.split
+            else build_split_from_dir(args.data_dir))
+    hw = tuple(int(v) for v in args.image_dimension.split(","))
+    r = validate_split(rows, image_dimension=hw, limit=args.limit,
+                       decode_images=not args.no_decode)
+    for i, msg in r["errors"]:
+        print(f"row {i}: {msg}")
+    n_err = len(r["errors"])
+    extra = " (further errors suppressed)" if n_err >= 50 else ""
+    status = "OK" if r["ok"] else f"{n_err} errors"
+    print(f"checked {r['checked']} rows: {status}{extra}")
+    return 0 if r["ok"] else 1
+
+
 def cmd_doctor(args) -> int:
     """Environment health report. Backend init HANGS (not errors) when
     the tunneled TPU is unreachable, so every backend touch happens in a
@@ -724,6 +755,23 @@ def main(argv=None) -> int:
                    help="batch size for the FLOPs/floor analysis "
                         "(matches bench.py's headline batch)")
     p.set_defaults(fn=cmd_summary)
+
+    p = sub.add_parser(
+        "validate-data",
+        help="artifact-contract checker for a prepared dataset "
+             "(catches the sorted-glob column-shift failure mode, "
+             "missing files, wrong shapes/dtypes)",
+    )
+    p.add_argument("--split", default=None, help="(N,7) split .npy")
+    p.add_argument("--data-dir", default=None,
+                   help="prepared_data dir to glob instead of a split")
+    p.add_argument("--image-dimension", default="416,800",
+                   metavar="H,W")
+    p.add_argument("--limit", type=int, default=0,
+                   help="check only the first N rows (0 = all)")
+    p.add_argument("--no-decode", action="store_true",
+                   help="skip jpg decode (faster)")
+    p.set_defaults(fn=cmd_validate_data)
 
     p = sub.add_parser(
         "doctor",

@@ -79,6 +79,101 @@ def rebase_split(split: np.ndarray, new_dir: str | Path) -> np.ndarray:
     )
 
 
+def validate_split(
+    rows: np.ndarray,
+    image_dimension: Sequence[int] = (416, 800),
+    limit: int = 0,
+    decode_images: bool = True,
+) -> dict:
+    """Check a split table's artifacts against the contract the loader
+    assumes (data/channels.py assemble_frame docstring; reference
+    dataloader.py:225-289). The reference builds the table by zipping
+    independently-globbed sorted lists (create_a_split_file.py:40-67),
+    so a single missing artifact silently SHIFTS every later row's
+    columns — exactly the failure mode the per-row stem check catches.
+
+    Per row: all 7 files exist; the 7 basenames share one frame stem;
+    each .npy loads (mmap) with the expected rank/shape/dtype family;
+    gt depth is non-negative; the image decodes to (H, W, 3) uint8.
+
+    Returns {"checked": n, "ok": bool, "errors": [(row, message), ...]}
+    (errors capped at 50). ``limit``: check only the first N rows
+    (0 = all). ``decode_images=False`` skips the jpg decode for speed.
+    """
+    h, w = image_dimension
+    errors: List[tuple] = []
+    n = len(rows) if limit <= 0 else min(limit, len(rows))
+
+    def err(i, msg):
+        if len(errors) < 50:
+            errors.append((i, msg))
+
+    # (column, expected ndim, trailing-channel count or None, dtype kind)
+    npy_specs = {
+        1: ("_radar.npy", 3, 3, "f"),
+        2: ("_radar_filtered.npy", 2, None, "f"),
+        3: ("_mseg.npy", 2, None, "iu"),
+        4: ("_im_uv.npy", 3, 2, "f"),
+        5: ("_rad_vel.npy", 2, None, "f"),
+        6: ("_gt.npy", 3, 3, "f"),
+    }
+    for i in range(n):
+        row = rows[i]
+        stems = set()
+        missing = False
+        for c, p in enumerate(row):
+            p = str(p)
+            name = os.path.basename(p)
+            suffix = ARTIFACT_SUFFIXES[c]
+            if not name.endswith(suffix):
+                err(i, f"col {c}: {name!r} does not end with {suffix!r}")
+            else:
+                stems.add(name[: -len(suffix)])
+            if not os.path.exists(p):
+                err(i, f"col {c}: missing file {p}")
+                missing = True
+        if len(stems) > 1:
+            err(i, f"misaligned row: frame stems differ {sorted(stems)} "
+                   "(a missing artifact shifted the sorted-glob zip)")
+        if missing:
+            continue
+        for c, (suffix, ndim, ch, kind) in npy_specs.items():
+            try:
+                a = np.load(str(row[c]), mmap_mode="r")
+            except Exception as e:
+                err(i, f"col {c} ({suffix}): unreadable — {e}")
+                continue
+            if a.ndim != ndim or (ch and a.shape[-1] != ch):
+                err(i, f"col {c} ({suffix}): shape {a.shape}, expected "
+                       f"ndim {ndim}" + (f" x{ch}ch" if ch else ""))
+                continue
+            if a.dtype.kind not in kind:
+                err(i, f"col {c} ({suffix}): dtype {a.dtype}, expected "
+                       f"kind in {kind!r}")
+                continue
+            if c != 3 and a.shape[:2] != (h, w):
+                err(i, f"col {c} ({suffix}): spatial {a.shape[:2]}, "
+                       f"expected {(h, w)}")
+            if c == 3 and a.shape[1] != w:
+                # mseg may be taller (loader crops rows to h) but the
+                # width must match
+                err(i, f"col 3 (_mseg.npy): width {a.shape[1]} != {w}")
+            if c == 6 and float(a[..., 0].min()) < 0:
+                err(i, "col 6 (_gt.npy): negative depth values")
+        if decode_images:
+            try:
+                import cv2
+
+                img = cv2.imread(str(row[0]))
+                if img is None:
+                    err(i, f"col 0: cv2 cannot decode {row[0]}")
+                elif img.shape[2] != 3:
+                    err(i, f"col 0: image shape {img.shape}")
+            except ImportError:
+                pass
+    return {"checked": n, "ok": not errors, "errors": errors}
+
+
 def split_ranges(n_total: int, train_val: Sequence[int]):
     """Index ranges for train/val/test given the (train, val) sizes; test is
     the remainder (dataloader.py:36-46, args.py:137)."""

@@ -47,7 +47,20 @@ from camradepth_tpu.config import MeshConfig
 
 
 def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    """Build the (data, fsdp, sp) mesh.
+
+    On a real multi-chip TPU slice the axis->device assignment matters:
+    a naive row-major reshape can put an axis's collectives on long ICI
+    paths, so when building over the full global device set we let
+    ``mesh_utils.create_device_mesh`` pick a topology-aware ordering
+    (the scaling-book recipe: collectives ride nearest-neighbor ICI).
+    Explicit device subsets (tests, the dryrun's ``devices[:2]``) and
+    CPU meshes keep the deterministic linear order. Scope note:
+    single-host multi-chip is the tested configuration; multi-host pods
+    additionally need ``jax.distributed.initialize`` plus
+    process-local batch assembly and are out of scope here."""
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
     n = len(devices)
     fsdp = max(1, cfg.fsdp_parallel)
     sp = max(1, cfg.spatial_parallel)
@@ -56,7 +69,18 @@ def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
         raise ValueError(
             f"mesh {data}x{fsdp}x{sp} does not match {n} devices"
         )
-    dev_array = np.asarray(devices).reshape(data, fsdp, sp)
+    shape = (data, fsdp, sp)
+    if n > 1 and devices[0].platform == "tpu":
+        from jax.experimental import mesh_utils
+
+        try:
+            dev_array = mesh_utils.create_device_mesh(
+                shape, devices=list(devices)
+            )
+        except Exception:
+            dev_array = np.asarray(devices).reshape(shape)
+    else:
+        dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, (cfg.data_axis, cfg.fsdp_axis, cfg.sp_axis))
 
 
