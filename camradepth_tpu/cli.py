@@ -255,6 +255,14 @@ def cmd_test(args) -> int:
     loaders = make_loaders(cfg.data, batch_size=args.test_batch)
     report = evaluate(cfg, model, params, loaders["test"])
     print(format_report(cfg, report))
+    if args.report_json:
+        import json
+
+        Path(args.report_json).write_text(
+            json.dumps({k: (float(v) if hasattr(v, "__float__") else v)
+                        for k, v in report.items()}, indent=1)
+        )
+        print(f"wrote {args.report_json}")
     return 0
 
 
@@ -678,6 +686,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("test", help="test-split metric report")
+    p.add_argument("--report-json", default=None, metavar="PATH",
+                   help="also write the metric dict as JSON (for CI / "
+                        "regression tracking)")
     _add_common_model_flags(p)
     p.add_argument("--test-batch", type=int, default=8)
     p.set_defaults(fn=cmd_test)

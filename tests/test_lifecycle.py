@@ -163,16 +163,22 @@ def test_prep_train_test_export_reimport(prep_dir, tmp_path):
     ckpt = str(ckpts[-1])
 
     # -- test (metric report over the remaining frames) -----------------
+    report_json = tmp_path / "report.json"
     with mock.patch.object(cli, "_build_config", lambda a: cfg):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             rc = cli.main([
                 "test", "--preset", "base", "--checkpoint", ckpt,
                 "--test-batch", "2",
+                "--report-json", str(report_json),
             ])
     report = buf.getvalue()
     assert rc == 0, report[-2000:]
     assert "RMSE" in report and "MAE" in report
+    import json
+
+    parsed = json.loads(report_json.read_text())
+    assert any("rmse" in k.lower() for k in parsed)
 
     # -- export to the reference .pth format ----------------------------
     pth = tmp_path / "exported.pth"
