@@ -59,7 +59,7 @@ def probe_backend(
     probe_timeout_s: float = 90.0,
     sleep_s: float = 45.0,
     code: str = "import jax; print(jax.devices()[0].platform)",
-) -> None:
+) -> str:
     """Wait (bounded) for the JAX backend to come up before benchmarking.
 
     The axon TPU tunnel flaps: when it is down, backend init HANGS
@@ -70,6 +70,11 @@ def probe_backend(
     with the defaults), a dead one fails fast with a clear message.
     The probe process exits before we proceed, so it never contends
     with this process for the single TPU.
+
+    Returns the platform string the probe's backend actually selected
+    ("tpu"/"cpu"/...) — callers gate backend-specific behavior on this
+    REPORTED platform, not on env vars (the axon sitecustomize can win
+    backend selection regardless of JAX_PLATFORMS).
     """
     import subprocess
     import sys
@@ -84,7 +89,7 @@ def probe_backend(
                 timeout=probe_timeout_s,
             )
             if proc.returncode == 0:
-                return
+                return proc.stdout.strip().splitlines()[-1]
             last = f"rc={proc.returncode}: {proc.stderr.strip()[-500:]}"
         except subprocess.TimeoutExpired:
             last = f"backend init hung > {probe_timeout_s:.0f}s (tunnel down?)"
@@ -274,11 +279,13 @@ def tpu_variant_fields() -> dict:
 def main() -> None:
     import sys
 
-    probe_backend()
+    platform = probe_backend()
     # Persistent compile cache — TPU entry points only (XLA:CPU AOT cache
     # entries can SIGILL on this host, see CLAUDE.md); bench on the CPU
-    # backend is a dev-only path and stays cache-less.
-    if "cpu" not in os.environ.get("JAX_PLATFORMS", "axon"):
+    # backend is a dev-only path and stays cache-less. Gate on the
+    # platform the probe's backend REALLY selected, not env vars — the
+    # sitecustomize can override JAX_PLATFORMS either way.
+    if platform != "cpu":
         jax.config.update(
             "jax_compilation_cache_dir", "/tmp/camradepth_jax_cache"
         )

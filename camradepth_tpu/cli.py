@@ -81,9 +81,23 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
                         "in docs/MIGRATION.md)")
 
 
+class UserError(ValueError):
+    """A CLI user error (bad flag/value/config combination): printed as
+    one line + exit 2. Internal failures deliberately do NOT inherit
+    this — they must surface with a full traceback, not be masked as
+    user errors."""
+
+
 def _build_config(args):
     from camradepth_tpu import config as C
 
+    try:
+        return _build_config_inner(args, C)
+    except ValueError as e:  # bad --set path/value, preset invariants
+        raise UserError(str(e)) from e
+
+
+def _build_config_inner(args, C):
     cfg = C.preset(args.preset)
     data_kw = {}
     if args.split:
@@ -181,7 +195,7 @@ def _load_params(cfg, checkpoint: str, strict: bool = False):
         ) else state[0] if isinstance(state, (list, tuple)) else state
         params, mismatches = ck.partial_restore_params(saved, init)
     if strict and mismatches:
-        raise ValueError(
+        raise UserError(
             f"checkpoint does not match the '{cfg.name}' config: "
             f"{len(mismatches)} keys kept their fresh init, e.g. "
             f"{mismatches[0]}. Pass the matching --preset."
@@ -283,24 +297,43 @@ def cmd_viz(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Export a trained checkpoint to the reference .pth format so a
-    reference-repo user can consume our weights (interop reverse path)."""
+    """Export a trained checkpoint: reference .pth (interop reverse
+    path) or a self-contained StableHLO serving artifact
+    (interop/hlo_export.py — params baked in, runs without model code
+    or config; the ONLY deployment format for the --tpu-decoder
+    variant, which has no reference representation)."""
+    cfg = _build_config(args)
+    if not args.checkpoint:
+        print("error: --checkpoint required for export", file=sys.stderr)
+        return 2
+    if args.format == "stablehlo":
+        from camradepth_tpu.interop.hlo_export import (
+            export_serving_artifact,
+        )
+
+        model, params = _load_params(cfg, args.checkpoint, strict=True)
+        header = export_serving_artifact(
+            cfg, model, params, args.out,
+            batch_size=args.serve_batch,
+            platforms=tuple(args.platforms.split(",")),
+        )
+        print(f"wrote StableHLO serving artifact to {args.out} "
+              f"(batch {header['batch_size']}, platforms "
+              f"{','.join(header['platforms'])})")
+        return 0
     import torch
 
     from camradepth_tpu.interop.torch_convert import (
         flax_params_to_state_dict,
     )
 
-    cfg = _build_config(args)
-    if not args.checkpoint:
-        print("error: --checkpoint required for export", file=sys.stderr)
-        return 2
     if cfg.model.tpu_decoder:
         print(
             "error: the TPU architecture variant (--tpu-decoder) has no "
             "reference-format representation — its subpixel decoder "
-            "stages do not exist in the reference model. Export a "
-            "parity-architecture checkpoint instead.",
+            "stages do not exist in the reference model. Use "
+            "--format stablehlo (its deployment path) or export a "
+            "parity-architecture checkpoint.",
             file=sys.stderr,
         )
         return 2
@@ -343,10 +376,11 @@ def cmd_search(args) -> int:
             "weight_decay": ((1e-6, 1e-2), "log"),
         }
     if getattr(args, "vmap_trials", False):
-        import numpy as np
-
         from camradepth_tpu.data.pipeline import make_loaders
-        from camradepth_tpu.train.search import vmapped_trials
+        from camradepth_tpu.train.search import (
+            batches_from_loader,
+            vmapped_trials,
+        )
         from camradepth_tpu.train.trainer import _BATCH_KEYS
 
         mesh = None
@@ -356,26 +390,17 @@ def cmd_search(args) -> int:
             from camradepth_tpu.config import MeshConfig
             from camradepth_tpu.parallel.mesh import create_mesh
 
-            mesh = create_mesh(
-                MeshConfig(data_parallel=args.data_parallel),
-                jax.devices(),
-            )
+            try:
+                mesh = create_mesh(
+                    MeshConfig(data_parallel=args.data_parallel),
+                    jax.devices()[: args.data_parallel],
+                )
+            except ValueError as e:  # dp > available devices
+                raise UserError(str(e)) from e
         loaders = make_loaders(cfg.data, cfg.train.batch_size)
-        accum = cfg.train.update_interval
-        it = iter(loaders["train"])
-        batches, mbs = [], []
-        try:
-            while len(batches) < 8:
-                b = next(it)
-                mbs.append({k: b[k] for k in _BATCH_KEYS if k in b})
-                if len(mbs) == accum:
-                    batches.append(
-                        {k: np.stack([m[k] for m in mbs])
-                         for k in mbs[0]}
-                    )
-                    mbs = []
-        except StopIteration:
-            pass
+        batches = batches_from_loader(
+            loaders["train"], cfg.train.update_interval
+        )
         if not batches:
             print("error: train split too small for one optimizer step",
                   file=sys.stderr)
@@ -440,10 +465,29 @@ def cmd_serve(args) -> int:
             f"divisible by --spatial-parallel {sp}", file=sys.stderr,
         )
         return 2
-    mesh, batch_axis, sp_axis = serving_mesh(dp, sp)
-    engine = load_engine(cfg, args.checkpoint,
-                         batch_size=args.serve_batch, mesh=mesh,
-                         batch_axis=batch_axis, spatial_axis=sp_axis)
+    try:
+        mesh, batch_axis, sp_axis = serving_mesh(dp, sp)
+    except ValueError as e:  # more devices requested than exist
+        raise UserError(str(e)) from e
+    from camradepth_tpu.interop.hlo_export import is_artifact
+
+    if is_artifact(args.checkpoint) and mesh is not None:
+        raise UserError(
+            "StableHLO artifacts cannot be served with --data-parallel/"
+            "--spatial-parallel — their partitioning is fixed at export "
+            "time; serve the Orbax/.pth checkpoint instead"
+        )
+    try:
+        engine = load_engine(cfg, args.checkpoint,
+                             batch_size=args.serve_batch, mesh=mesh,
+                             batch_axis=batch_axis, spatial_axis=sp_axis)
+    except ValueError as e:
+        # artifact header validation (geometry/preset mismatch) — a
+        # user error; internal failures inside model init/restore are
+        # not ValueErrors on these paths
+        if is_artifact(args.checkpoint):
+            raise UserError(str(e)) from e
+        raise
     loaders = make_loaders(cfg.data, batch_size=args.serve_batch)
     loader = loaders.get("test") or loaders.get("val")
     if loader is None:
@@ -467,7 +511,10 @@ def cmd_serve(args) -> int:
         if args.limit and n >= args.limit:
             break
     stats = engine.stats()
-    print(json.dumps({"frames": n, **stats}))
+    # "frames" = frames WRITTEN (--limit truncates mid-batch); the
+    # engine's device-side count stays available as frames_processed.
+    stats["frames_processed"] = stats.pop("frames", 0.0)
+    print(json.dumps({**stats, "frames": n}))
     return 0
 
 
@@ -701,9 +748,21 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_viz)
 
     p = sub.add_parser("export",
-                       help="export checkpoint to reference .pth format")
+                       help="export checkpoint: reference .pth or "
+                            "self-contained StableHLO serving artifact")
     _add_common_model_flags(p)
     p.add_argument("--out", required=True)
+    p.add_argument("--format", choices=("pth", "stablehlo"),
+                   default="pth",
+                   help="pth: reference-compatible state dict; "
+                        "stablehlo: compiled serving artifact (params "
+                        "baked in, loadable by `serve` with no model "
+                        "code — required for --tpu-decoder)")
+    p.add_argument("--serve-batch", type=int, default=8,
+                   help="batch size baked into a stablehlo artifact")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets for a "
+                        "stablehlo artifact")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(
@@ -800,9 +859,12 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     try:
         return args.fn(args)
-    except ValueError as e:
+    except UserError as e:
         # config-building errors (bad --set path/value, preset invariant
-        # violations) are user errors, not crashes
+        # violations, strict-export mismatches) are user errors, not
+        # crashes. Anything else propagates with its traceback — a
+        # blanket ValueError catch would mask internal numpy/JAX shape
+        # errors deep in training as "bad flag" exits.
         print(f"error: {e}", file=sys.stderr)
         return 2
 

@@ -22,11 +22,11 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(out: Optional[Path] = None) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", str(_LIB), str(_SRC)],
+             "-o", str(out or _LIB), str(_SRC)],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -46,8 +46,37 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
     try:
         lib = ctypes.CDLL(str(_LIB))
-    except OSError:
-        return None
+        _bind(lib)
+    except (OSError, AttributeError):
+        # AttributeError = a loadable but STALE .so missing newer symbols
+        # (git does not preserve mtimes, so the mtime check can pass on a
+        # pre-built library from an older source). Rebuild once from the
+        # current source; fall back to the numpy paths if that fails too.
+        # Rebuild under a UNIQUE path: dlopen caches mappings by
+        # pathname, so an in-place rebuild hands back the stale mapping
+        # no matter what is on disk (verified).
+        import os
+
+        alt = _LIB.with_name(f".librasterize-rebuild-{os.getpid()}.so")
+        if not _build(out=alt):
+            return None
+        try:
+            lib = ctypes.CDLL(str(alt))
+            _bind(lib)
+        except (OSError, AttributeError):
+            return None
+        finally:
+            # refresh the canonical path for future processes; the
+            # loaded mapping keeps the inode alive either way
+            try:
+                os.replace(alt, _LIB)
+            except OSError:
+                alt.unlink(missing_ok=True)
+    _lib = lib
+    return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -92,8 +121,6 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
         ctypes.c_int64, i32p,
     ]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

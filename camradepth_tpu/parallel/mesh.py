@@ -54,8 +54,11 @@ def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     paths, so when building over the full global device set we let
     ``mesh_utils.create_device_mesh`` pick a topology-aware ordering
     (the scaling-book recipe: collectives ride nearest-neighbor ICI).
-    Explicit device subsets (tests, the dryrun's ``devices[:2]``) and
-    CPU meshes keep the deterministic linear order. Scope note:
+    Explicit PROPER subsets of the device set (tests, the dryrun's
+    ``devices[:2]``) and CPU meshes keep the deterministic linear
+    order; an explicit list that covers every device (the Trainer
+    passes ``jax.devices()[:n]``) still gets the topology-aware
+    ordering. Scope note:
     single-host multi-chip is the tested configuration; multi-host pods
     additionally need ``jax.distributed.initialize`` plus
     process-local batch assembly and are out of scope here."""
@@ -70,7 +73,10 @@ def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
             f"mesh {data}x{fsdp}x{sp} does not match {n} devices"
         )
     shape = (data, fsdp, sp)
-    if n > 1 and devices[0].platform == "tpu":
+    # jax.devices() only queried lazily: explicit CPU subsets must not
+    # force default-backend init on a machine whose default is the TPU
+    if (n > 1 and devices[0].platform == "tpu"
+            and (not explicit or n == len(jax.devices()))):
         from jax.experimental import mesh_utils
 
         try:

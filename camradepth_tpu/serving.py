@@ -26,6 +26,28 @@ import numpy as np
 from camradepth_tpu.config import ExperimentConfig
 
 
+def make_serving_forward(cfg: ExperimentConfig, model,
+                         decode_depth: bool = True):
+    """The canonical serving forward ``fwd(params, x) -> {depth, seg}``:
+    clipped final depth decoded to metric meters (inverse encoding,
+    dataloader.py:243-245) and argmax seg labels. Shared by the live
+    DepthEngine and the StableHLO deployment artifact
+    (interop/hlo_export.py) so both serve identical semantics."""
+
+    def fwd(p, x):
+        out = model.apply({"params": p}, x, deterministic=True)
+        depth = jnp.clip(out["depth"]["final_depth"][..., 0], 0.0, 1.0)
+        if decode_depth:
+            depth = cfg.data.max_depth * (1.0 - depth)
+        seg = out["seg"]["final_seg"]
+        return {
+            "depth": depth,
+            "seg": None if seg is None else jnp.argmax(seg, -1),
+        }
+
+    return fwd
+
+
 class DepthEngine:
     def __init__(
         self,
@@ -37,6 +59,7 @@ class DepthEngine:
         mesh=None,
         batch_axis: str = "data",
         spatial_axis: Optional[str] = None,
+        forward_fn=None,
     ):
         """``mesh`` (a jax.sharding.Mesh) turns on multi-chip serving:
         the batch shards over ``batch_axis`` (throughput scales with
@@ -45,7 +68,13 @@ class DepthEngine:
         exchanges. Spatial sharding is the intended route to lower
         single-frame latency on multi-chip hardware (projection — only
         bit-parity is measurable on this single-chip machine; see
-        tests/test_parallel.py and tests/test_serving.py)."""
+        tests/test_parallel.py and tests/test_serving.py).
+
+        ``forward_fn`` replaces the model-built forward with a
+        prebuilt ``fwd(params, x)`` callable (the StableHLO deployment
+        artifact path — params are baked into the artifact, so
+        ``params`` may be None). Mutually exclusive with ``mesh``: an
+        artifact's sharding is fixed at export time."""
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -55,6 +84,12 @@ class DepthEngine:
         self._in_shape = (batch_size, h, w, cfg.model.input_channels)
         self._in_sharding = None
         if mesh is not None:
+            if forward_fn is not None:
+                raise ValueError(
+                    "forward_fn (deployment artifact) and mesh are "
+                    "mutually exclusive — an artifact's partitioning "
+                    "is fixed at export time"
+                )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             spec = P(batch_axis, spatial_axis)
@@ -63,19 +98,11 @@ class DepthEngine:
                 params, NamedSharding(mesh, P())
             )
 
-        def fwd(p, x):
-            out = model.apply({"params": p}, x, deterministic=True)
-            depth = jnp.clip(out["depth"]["final_depth"][..., 0], 0.0, 1.0)
-            if decode_depth:
-                # inverse encoding -> meters (dataloader.py:243-245 inverse)
-                depth = cfg.data.max_depth * (1.0 - depth)
-            seg = out["seg"]["final_seg"]
-            return {
-                "depth": depth,
-                "seg": None if seg is None else jnp.argmax(seg, -1),
-            }
-
-        self._fwd = jax.jit(fwd)
+        if forward_fn is not None:
+            self._fwd = forward_fn
+        else:
+            self._fwd = jax.jit(make_serving_forward(cfg, model,
+                                                     decode_depth))
         self.frames_served = 0
         self.batches_served = 0
         self._warmed = False
@@ -206,8 +233,23 @@ def load_engine(
     batch_axis: str = "data",
     spatial_axis: Optional[str] = None,
 ) -> DepthEngine:
-    """Engine from an Orbax checkpoint or a reference .pth; pass a mesh
-    (e.g. from ``serving_mesh``) for multi-chip serving."""
+    """Engine from an Orbax checkpoint, a reference .pth, or a
+    StableHLO serving artifact (``cli export --format stablehlo``);
+    pass a mesh (e.g. from ``serving_mesh``) for multi-chip serving
+    (checkpoint sources only — an artifact's partitioning is fixed at
+    export time)."""
+    from camradepth_tpu.interop.hlo_export import artifact_engine, is_artifact
+
+    if is_artifact(checkpoint):
+        if mesh is not None:
+            raise ValueError(
+                "StableHLO artifacts cannot be served on a mesh — their "
+                "partitioning is fixed at export time; pass an Orbax/"
+                ".pth checkpoint for --data-parallel/--spatial-parallel"
+            )
+        engine = artifact_engine(checkpoint, cfg)
+        engine.warmup()
+        return engine
     from camradepth_tpu.cli import _load_params
 
     model, params = _load_params(cfg, checkpoint)

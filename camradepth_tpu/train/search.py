@@ -136,6 +136,32 @@ def successive_halving_search(
         rung += 1
 
 
+def batches_from_loader(loader, update_interval: int,
+                        max_batches: int = 8) -> List[Dict[str, Any]]:
+    """Group a BatchLoader's [B, ...] microbatches into the
+    [update_interval, B, ...] optimizer-step stacks ``vmapped_trials``
+    consumes (each stack is one gradient-accumulated step's data)."""
+    from camradepth_tpu.train.trainer import _BATCH_KEYS
+
+    it = iter(loader)
+    batches: List[Dict[str, Any]] = []
+    mbs: List[Dict[str, Any]] = []
+    try:
+        while len(batches) < max_batches:
+            b = next(it)
+            mbs.append(
+                {k: np.asarray(b[k]) for k in _BATCH_KEYS if k in b}
+            )
+            if len(mbs) == update_interval:
+                batches.append(
+                    {k: np.stack([m[k] for m in mbs]) for k in mbs[0]}
+                )
+                mbs = []
+    except StopIteration:
+        pass
+    return batches
+
+
 def vmapped_trials(
     base_cfg: ExperimentConfig,
     search_spaces: Dict[str, Tuple[Sequence[Any], str]],
@@ -167,8 +193,11 @@ def vmapped_trials(
     [update_interval, micro_batch, ...]) reused cyclically for
     ``num_steps`` steps; all trials see identical data. ``val_batch``:
     one dict for final ranking (falls back to the last train batch).
-    ``loaders``: alternative source (`.train`/`.val` iterators) when
-    ``batches`` is None. ``mesh``: shard the trial axis over the mesh's
+    ``loaders``: alternative source when ``batches`` is None — the
+    ``make_loaders`` dict (or any object with a ``.train`` loader);
+    its [B, ...] microbatches are grouped into optimizer-step stacks
+    via :func:`batches_from_loader`, and a val batch is drawn from the
+    dict's ``val`` loader when ``val_batch`` is not given. ``mesh``: shard the trial axis over the mesh's
     ``data`` axis (requires num_trials % mesh.shape['data'] == 0).
     ``model``: override the flagship CamRaDepth with any Flax module
     whose ``apply`` returns the prediction dict ``multitask_loss``
@@ -303,7 +332,25 @@ def vmapped_trials(
     if batches is None:
         if loaders is None:
             raise ValueError("need batches or loaders")
-        batches = list(loaders.train)
+        train_loader = (
+            loaders["train"] if isinstance(loaders, dict)
+            else loaders.train
+        )
+        batches = batches_from_loader(train_loader, tr.update_interval)
+        if not batches:
+            raise ValueError(
+                "train split too small for one optimizer step "
+                f"(need {tr.update_interval} microbatches)"
+            )
+        if val_batch is None and (
+            isinstance(loaders, dict) and loaders.get("val") is not None
+        ):
+            from camradepth_tpu.train.trainer import _BATCH_KEYS
+
+            vb = next(iter(loaders["val"]))
+            val_batch = {
+                k: np.asarray(vb[k]) for k in _BATCH_KEYS if k in vb
+            }
     batches = list(batches)
     last = None
     for i in range(num_steps):

@@ -356,6 +356,7 @@ class Trainer:
             else 1
         )
         sums: Dict[str, float] = {}
+        counts: Dict[str, float] = {}
         n_frames = 0.0
         for batch in self.loaders["val"]:
             dev = {k: jnp.asarray(batch[k]) for k in _BATCH_KEYS if k in batch}
@@ -377,13 +378,25 @@ class Trainer:
                 dev = jax.device_put(dev, self._batch_sharding)
             metrics = self._eval_step(self.state.params, dev)
             for k, v in metrics.items():
+                # a single non-finite per-frame metric (e.g. a diverged
+                # prediction on one val frame) must not poison the whole
+                # epoch aggregate that drives early stopping / best-ckpt
+                # selection — drop it from this metric's mean, like the
+                # pre-valid-mask np.nanmean aggregation did
+                v = np.asarray(v, np.float64)
+                finite = np.isfinite(v)
+                w = valid * finite
                 sums[k] = sums.get(k, 0.0) + float(
-                    np.sum(np.asarray(v) * valid)
+                    np.sum(np.where(finite, v, 0.0) * valid)
                 )
+                counts[k] = counts.get(k, 0.0) + float(w.sum())
             n_frames += float(valid.sum())
         if n_frames == 0:
             return {"loss": float("nan"), "rmse_m": float("nan")}
-        agg = {k: v / n_frames for k, v in sums.items()}
+        agg = {
+            k: (sums[k] / counts[k] if counts[k] else float("nan"))
+            for k in sums
+        }
         self.val_steps += 1
         self.writer.scalars(agg, self.val_steps, prefix="val/")
         return agg

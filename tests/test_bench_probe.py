@@ -16,9 +16,12 @@ import bench
 
 def test_probe_succeeds_immediately():
     t0 = time.perf_counter()
-    bench.probe_backend(attempts=3, probe_timeout_s=30, sleep_s=60,
-                        code="print('ok')")
+    platform = bench.probe_backend(attempts=3, probe_timeout_s=30,
+                                   sleep_s=60, code="print('cpu')")
     assert time.perf_counter() - t0 < 30  # no sleeps on success
+    # the probe reports the backend's REAL platform; main() gates the
+    # persistent compile cache on this (never enable it on XLA:CPU)
+    assert platform == "cpu"
 
 
 def test_probe_retries_then_raises_on_failure():

@@ -1,0 +1,198 @@
+"""StableHLO serving artifacts (interop/hlo_export.py).
+
+The reference's only deployment artifact is a .pth that needs the full
+source tree (runner.py re-instantiates the model class around the state
+dict); these tests pin the TPU-native addition: a self-contained
+compiled artifact that serves without model code, config, or weights —
+and bit-matches the live engine it was exported from.
+"""
+
+import contextlib
+import dataclasses
+import io
+import json
+import unittest.mock as mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camradepth_tpu.config import tiny_test_config
+from camradepth_tpu.interop import hlo_export as hx
+from camradepth_tpu.models.camradepth import CamRaDepth
+from camradepth_tpu.serving import DepthEngine
+
+
+def _model_and_params(cfg):
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, cfg.model.input_channels)),
+        deterministic=True,
+    )["params"]
+    return model, params
+
+
+class TestArtifactRoundtrip:
+    def test_matches_live_engine(self, tmp_path):
+        """Export -> reload -> serve must produce the SAME outputs as
+        the live jitted engine: same XLA program, params baked in as
+        constants."""
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        path = tmp_path / "tiny.stablehlo"
+        header = hx.export_serving_artifact(
+            cfg, model, params, str(path), batch_size=2,
+            platforms=("cpu",),
+        )
+        assert header["batch_size"] == 2
+        assert header["img_size"] == list(cfg.model.img_size)
+
+        eng = hx.artifact_engine(str(path), cfg)
+        live = DepthEngine(cfg, model, params, batch_size=2)
+        h, w = cfg.model.img_size
+        x = np.random.default_rng(0).standard_normal(
+            (2, h, w, cfg.model.input_channels)
+        ).astype(np.float32)
+        got = eng.infer_batch(x)
+        want = live.infer_batch(x)
+        np.testing.assert_allclose(got["depth"], want["depth"],
+                                   rtol=1e-6, atol=1e-6)
+        if "seg" in want:
+            np.testing.assert_array_equal(got["seg"], want["seg"])
+        # depth is decoded to metric meters by the baked-in forward
+        assert got["depth"].min() >= 0.0
+        assert got["depth"].max() <= cfg.data.max_depth
+
+    def test_self_contained_no_config(self, tmp_path):
+        """The artifact serves with cfg=None — geometry and decode
+        semantics come from the committed header, not Python state."""
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        path = tmp_path / "tiny.stablehlo"
+        hx.export_serving_artifact(cfg, model, params, str(path),
+                                   batch_size=2, platforms=("cpu",))
+        eng = hx.artifact_engine(str(path))
+        h, w = cfg.model.img_size
+        x = np.zeros((1, h, w, cfg.model.input_channels), np.float32)
+        out = eng.infer_batch(x)  # tail-pads 1 -> 2 internally
+        assert out["depth"].shape == (1, h, w)
+
+    def test_multi_platform_serialization(self, tmp_path):
+        """platforms=('cpu','tpu') lowers for BOTH targets from this
+        CPU-only host (deploy-anywhere is the point of the format);
+        the cpu lowering stays executable."""
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        path = tmp_path / "xplat.stablehlo"
+        header = hx.export_serving_artifact(
+            cfg, model, params, str(path), batch_size=1,
+            platforms=("cpu", "tpu"),
+        )
+        assert header["platforms"] == ["cpu", "tpu"]
+        eng = hx.artifact_engine(str(path), cfg)
+        h, w = cfg.model.img_size
+        out = eng.infer_batch(
+            np.zeros((1, h, w, cfg.model.input_channels), np.float32)
+        )
+        assert np.isfinite(out["depth"]).all()
+
+
+class TestArtifactValidation:
+    def test_is_artifact(self, tmp_path):
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        art = tmp_path / "a.bin"  # magic sniffed even without suffix
+        hx.export_serving_artifact(cfg, model, params, str(art),
+                                   batch_size=1, platforms=("cpu",))
+        assert hx.is_artifact(str(art))
+        other = tmp_path / "weights.pth"
+        other.write_bytes(b"\x80\x04 not an artifact")
+        assert not hx.is_artifact(str(other))
+        assert not hx.is_artifact(str(tmp_path / "missing.pth"))
+
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "junk.stablehlo"
+        p.write_bytes(b"JUNKJUNK" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="not a camradepth"):
+            hx.load_serving_artifact(str(p))
+
+    def test_geometry_mismatch_rejected(self, tmp_path):
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        path = tmp_path / "tiny.stablehlo"
+        hx.export_serving_artifact(cfg, model, params, str(path),
+                                   batch_size=1, platforms=("cpu",))
+        wrong = cfg.replace(
+            model=dataclasses.replace(cfg.model, img_size=(32, 64))
+        )
+        with pytest.raises(ValueError, match="geometry"):
+            hx.artifact_engine(str(path), wrong)
+
+
+def test_cli_export_stablehlo_then_serve(tmp_path):
+    """Product path end-to-end: `export --format stablehlo` from an
+    Orbax checkpoint, then `serve --checkpoint <artifact>` streams the
+    synthetic split through the compiled artifact."""
+    from camradepth_tpu import cli
+    from camradepth_tpu.data import synthetic
+    from camradepth_tpu.utils import checkpoint as ck
+
+    cfg = tiny_test_config()
+    split = synthetic.generate(tmp_path / "data", num_frames=4,
+                               hw=cfg.model.img_size, seed=3)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            split_path=str(split),
+            image_dimension=cfg.model.img_size,
+            train_val_split=(2, 1),
+            num_workers=1,
+        )
+    )
+    model, params = _model_and_params(cfg)
+    ckpt_path = ck.save_checkpoint(tmp_path / "ckpt", {"params": params},
+                                   epoch=0, eval_loss=0.5)
+    art = tmp_path / "model.stablehlo"
+    with mock.patch.object(cli, "_build_config", lambda a: cfg):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "export", "--preset", "base",
+                "--checkpoint", str(ckpt_path),
+                "--out", str(art), "--format", "stablehlo",
+                "--serve-batch", "2", "--platforms", "cpu",
+            ])
+        assert rc == 0, buf.getvalue()
+        assert "StableHLO" in buf.getvalue()
+
+        out = tmp_path / "served"
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "serve", "--preset", "base",
+                "--checkpoint", str(art),
+                "--out", str(out), "--serve-batch", "2", "--limit", "1",
+            ])
+        assert rc == 0, buf.getvalue()
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["frames"] == 1
+        d = np.load(out / "00000_depth.npy")
+        assert d.shape == cfg.model.img_size
+        assert np.isfinite(d).all()
+
+        # artifacts have their partitioning fixed at export time: mesh
+        # flags must fail as a clean user error, not a traceback
+        import sys
+
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            rc = cli.main([
+                "serve", "--preset", "base",
+                "--checkpoint", str(art),
+                "--out", str(out), "--data-parallel", "2",
+            ])
+        assert rc == 2
+        assert "fixed at export time" in err.getvalue()

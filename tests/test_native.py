@@ -13,6 +13,39 @@ class TestNative:
     def test_builds(self):
         assert native.available(), "g++ build of native/rasterize.cc failed"
 
+    def test_stale_library_triggers_rebuild(self, tmp_path, monkeypatch):
+        """A loadable .so missing newer symbols must trigger a rebuild
+        from the current source, not crash every native consumer: git
+        does not preserve mtimes, so the mtime freshness check can pass
+        on a stale prebuilt library (regression: binding the missing
+        symbols raised AttributeError inside _load, so available()
+        itself crashed instead of falling back)."""
+        import subprocess
+        import time
+
+        stale_src = tmp_path / "stale.cc"
+        stale_src.write_text('extern "C" void unrelated() {}\n')
+        stale_lib = tmp_path / "librasterize.so"
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(stale_lib),
+             str(stale_src)],
+            check=True, capture_output=True,
+        )
+        # looks newer than the real source -> freshness check passes
+        future = time.time() + 3600
+        import os
+
+        os.utime(stale_lib, (future, future))
+        monkeypatch.setattr(native, "_LIB", stale_lib)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", False)
+        assert native.available(), "stale .so did not trigger a rebuild"
+        # the rebuilt library really serves the newest symbols
+        out = native.encode_inverse_depth_native(
+            np.full((2, 3), 25.0, np.float32), 100.0
+        )
+        np.testing.assert_allclose(out, 0.75, rtol=1e-6)
+
     def test_matches_xla_raster(self):
         rng = np.random.default_rng(0)
         n, h, w, scale = 5000, 900, 1600, 2.0

@@ -170,6 +170,23 @@ class TestSetOverrides:
         assert cfg.mesh.spatial_parallel == 2
         assert cfg.name == "exp42"
 
+    def test_internal_valueerror_propagates(self, monkeypatch):
+        """main() converts only UserError (bad flags/config) to a clean
+        exit 2; an internal ValueError raised deep inside a command must
+        surface with its traceback — a blanket catch would make field
+        failures (numpy/JAX shape errors hours into a train run)
+        indistinguishable from a typoed --set flag."""
+        import pytest
+
+        from camradepth_tpu import cli
+
+        def boom(args):
+            raise ValueError("internal shape mismatch")
+
+        monkeypatch.setattr(cli, "cmd_summary", boom)
+        with pytest.raises(ValueError, match="internal shape mismatch"):
+            cli.main(["summary", "--preset", "base"])
+
 
 class TestSummaryCommand:
     """cli summary: shape-only param/FLOPs report (reference torchinfo

@@ -223,6 +223,18 @@ class TestVmapSearchCLI:
         assert seen["mesh"] is None
         assert "best config" in capsys.readouterr().out
 
+        # --data-parallel N < device count must build the mesh over the
+        # FIRST N devices (regression: passing all 8 devices to a
+        # 4x1x1 mesh raised "does not match 8 devices" and exited 2)
+        rc = cli.main([
+            "search", "--preset", "base", "--vmap-trials",
+            "--num-trials", "4", "--trial-steps", "5",
+            "--train-val-split", "5,2", "--data-parallel", "4",
+        ])
+        assert rc == 0
+        assert seen["mesh"] is not None
+        assert seen["mesh"].shape["data"] == 4
+
 
 class TestVmappedTrials:
     """One-program concurrent trials (train/search.py vmapped_trials).
@@ -291,6 +303,40 @@ class TestVmappedTrials:
                 {"batch_size": ([1, 3], "int")},
                 batches=[],
             )
+
+    def test_loaders_fallback(self):
+        """vmapped_trials(loaders=<make_loaders dict>) groups the
+        loader's [B, ...] microbatches into [update_interval, B, ...]
+        optimizer stacks and draws a val batch from the dict's val
+        loader (regression: this path crashed on dict attribute access
+        and, with an attribute object, fed un-stacked batches whose
+        batch dim was consumed as the accumulation axis)."""
+        from camradepth_tpu.train.search import vmapped_trials
+
+        cfg = tiny_test_config()
+        accum = cfg.train.update_interval
+        assert accum >= 2  # the bug is only visible with stacking
+        rng = np.random.default_rng(0)
+
+        def mb():
+            return {
+                "features": rng.standard_normal(
+                    (2, 64, 128, 7)).astype(np.float32),
+                "gt_depth": np.abs(rng.standard_normal(
+                    (2, 64, 128))).astype(np.float32) * 0.1,
+                "valid": np.ones((2,), np.float32),  # dropped
+            }
+
+        loaders = {"train": [mb() for _ in range(2 * accum)],
+                   "val": [mb()]}
+        _, best_loss, seq = vmapped_trials(
+            cfg, {"learning_rate": ([1e-4, 1e-2], "log")},
+            num_trials=2, num_steps=2, seed=0, loaders=loaders,
+            model=self._ToyDepth(),
+        )
+        assert len(seq) == 2
+        assert all(np.isfinite(r["val_loss"]) for r in seq)
+        assert best_loss == min(r["val_loss"] for r in seq)
 
     def test_ranks_and_mesh_parity(self):
         """One unsharded + one trial-axis-sharded run: ranking contract,

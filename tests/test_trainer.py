@@ -154,6 +154,41 @@ class TestTrainer:
                 err_msg=f"val metric {k} differs between batch 4 and 5",
             )
 
+    def test_eval_nonfinite_frame_does_not_poison_epoch(
+        self, synth, tmp_path
+    ):
+        """A single non-finite per-frame val metric (e.g. one diverged
+        prediction) is dropped from that metric's mean instead of
+        turning the whole epoch aggregate NaN — the aggregate drives
+        early stopping and best-checkpoint selection."""
+        import dataclasses
+
+        base = _cfg(synth, tmp_path)
+        data = dataclasses.replace(base.data, train_val_split=(3, 4))
+        cfg = base.replace(
+            data=data,
+            train=dataclasses.replace(
+                base.train, batch_size=4, desired_batch_size=4,
+                save_model=False,
+            ),
+        )
+        t = Trainer(cfg, run_dir=str(tmp_path / "nanval"))
+        real = t._eval_step
+
+        def poisoned(params, batch):
+            out = {}
+            for k, v in real(params, batch).items():
+                v = np.asarray(v, np.float64).copy()
+                v[0] = np.nan  # first frame of every batch diverged
+                out[k] = v
+            return out
+
+        t._eval_step = poisoned
+        agg = t.evaluate()
+        assert agg  # at least loss + rmse
+        for k, v in agg.items():
+            assert np.isfinite(v), f"val metric {k} poisoned by one NaN"
+
     def test_empty_train_split_clear_error(self, synth, tmp_path):
         """mini_dataset-style (0,0) splits must fail up front with a clear
         message, not a TypeError on len(None) (the reference crashes deep
