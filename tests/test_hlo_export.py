@@ -100,6 +100,77 @@ class TestArtifactRoundtrip:
         assert np.isfinite(out["depth"]).all()
 
 
+class TestTpuDecoderDeployment:
+    """The --tpu-decoder architecture variant has NO reference .pth
+    representation (cli export refuses it); the StableHLO artifact is
+    its advertised deployment path — pin that the path actually works
+    end to end."""
+
+    def test_variant_artifact_matches_live_engine(self, tmp_path):
+        cfg = tiny_test_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, tpu_decoder=True)
+        )
+        model, params = _model_and_params(cfg)
+        path = tmp_path / "variant.stablehlo"
+        header = hx.export_serving_artifact(
+            cfg, model, params, str(path), batch_size=2,
+            platforms=("cpu",),
+        )
+        assert header["tpu_decoder"] is True
+        eng = hx.artifact_engine(str(path), cfg)
+        live = DepthEngine(cfg, model, params, batch_size=2)
+        h, w = cfg.model.img_size
+        x = np.random.default_rng(1).standard_normal(
+            (2, h, w, cfg.model.input_channels)
+        ).astype(np.float32)
+        got = eng.infer_batch(x)
+        want = live.infer_batch(x)
+        np.testing.assert_allclose(got["depth"], want["depth"],
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_cli_refuses_pth_but_exports_stablehlo(self, tmp_path):
+        from camradepth_tpu import cli
+        from camradepth_tpu.utils import checkpoint as ck
+
+        cfg = tiny_test_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, tpu_decoder=True)
+        )
+        model, params = _model_and_params(cfg)
+        ckpt = ck.save_checkpoint(tmp_path / "ckpt", {"params": params},
+                                  epoch=0, eval_loss=0.5)
+        with mock.patch.object(cli, "_build_config", lambda a: cfg):
+            err = io.StringIO()
+            with contextlib.redirect_stderr(err):
+                rc = cli.main([
+                    "export", "--preset", "base",
+                    "--checkpoint", str(ckpt),
+                    "--out", str(tmp_path / "w.pth"),
+                ])
+            assert rc == 2
+            assert "stablehlo" in err.getvalue()  # points at the fix
+
+            art = tmp_path / "variant.stablehlo"
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = cli.main([
+                    "export", "--preset", "base",
+                    "--checkpoint", str(ckpt),
+                    "--out", str(art), "--format", "stablehlo",
+                    "--serve-batch", "1", "--platforms", "cpu",
+                ])
+            assert rc == 0, buf.getvalue()
+        assert hx.is_artifact(str(art))
+        eng = hx.artifact_engine(str(art))
+        h, w = cfg.model.img_size
+        out = eng.infer_batch(
+            np.zeros((1, h, w, cfg.model.input_channels), np.float32)
+        )
+        assert out["depth"].shape == (1, h, w)
+        assert np.isfinite(out["depth"]).all()
+
+
 class TestArtifactValidation:
     def test_is_artifact(self, tmp_path):
         cfg = tiny_test_config()
