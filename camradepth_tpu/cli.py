@@ -316,10 +316,12 @@ def cmd_export(args) -> int:
             cfg, model, params, args.out,
             batch_size=args.serve_batch,
             platforms=tuple(args.platforms.split(",")),
+            artifact_dtype=args.artifact_dtype,
         )
         print(f"wrote StableHLO serving artifact to {args.out} "
               f"(batch {header['batch_size']}, platforms "
-              f"{','.join(header['platforms'])})")
+              f"{','.join(header['platforms'])}, "
+              f"{header['artifact_dtype']} weights)")
         return 0
     import torch
 
@@ -763,6 +765,12 @@ def main(argv=None) -> int:
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets for a "
                         "stablehlo artifact")
+    p.add_argument("--artifact-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="weight dtype baked into a stablehlo artifact; "
+                        "bfloat16 halves the file and is numerically "
+                        "free on bfloat16-compute configs (the "
+                        "flagship default)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(

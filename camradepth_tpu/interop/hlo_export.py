@@ -40,15 +40,34 @@ def export_serving_artifact(
     batch_size: int = 8,
     decode_depth: bool = True,
     platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    artifact_dtype: str = "float32",
 ) -> Dict:
     """Serialize the jitted serving forward (params baked in) to
-    ``path``. Returns the artifact header dict."""
+    ``path``. Returns the artifact header dict.
+
+    ``artifact_dtype="bfloat16"`` bakes the float32 params as bfloat16
+    constants, halving the artifact. On a bfloat16-compute config (the
+    flagship default) this is numerically FREE: apply casts every
+    float32 param to bfloat16 at use anyway, so pre-rounding them
+    changes nothing — only float32-compute configs see a (documented,
+    bf16-resolution) difference."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
 
     from camradepth_tpu.serving import make_serving_forward
 
+    if artifact_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"artifact_dtype must be float32 or bfloat16, "
+            f"got {artifact_dtype!r}"
+        )
+    if artifact_dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a,
+            params,
+        )
     fwd = make_serving_forward(cfg, model, decode_depth=decode_depth)
     h, w = cfg.model.img_size
     c = cfg.model.input_channels
@@ -68,6 +87,7 @@ def export_serving_artifact(
         "tpu_decoder": bool(cfg.model.tpu_decoder),
         "max_depth": float(cfg.data.max_depth),
         "platforms": list(platforms),
+        "artifact_dtype": artifact_dtype,
     }
     hdr = json.dumps(header).encode()
     with open(path, "wb") as f:

@@ -100,6 +100,66 @@ class TestArtifactRoundtrip:
         assert np.isfinite(out["depth"]).all()
 
 
+class TestArtifactDtype:
+    def test_bf16_halves_size_and_matches_on_bf16_compute(self, tmp_path):
+        """On a bfloat16-compute config (the flagship default) baking
+        bf16 weights is numerically FREE: apply casts fp32 params to
+        bf16 at use anyway, so pre-rounding is a no-op — and the
+        artifact roughly halves (params dominate the blob)."""
+        cfg = tiny_test_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model,
+                                      compute_dtype="bfloat16")
+        )
+        model, params = _model_and_params(cfg)
+        f32 = tmp_path / "f32.stablehlo"
+        bf16 = tmp_path / "bf16.stablehlo"
+        hx.export_serving_artifact(cfg, model, params, str(f32),
+                                   batch_size=1, platforms=("cpu",))
+        header = hx.export_serving_artifact(
+            cfg, model, params, str(bf16), batch_size=1,
+            platforms=("cpu",), artifact_dtype="bfloat16",
+        )
+        assert header["artifact_dtype"] == "bfloat16"
+        assert bf16.stat().st_size < 0.65 * f32.stat().st_size
+        h, w = cfg.model.img_size
+        x = np.random.default_rng(2).standard_normal(
+            (1, h, w, cfg.model.input_channels)
+        ).astype(np.float32)
+        a = hx.artifact_engine(str(f32)).infer_batch(x)
+        b = hx.artifact_engine(str(bf16)).infer_batch(x)
+        np.testing.assert_array_equal(a["depth"], b["depth"])
+
+    def test_bf16_within_bf16_resolution_on_f32_compute(self, tmp_path):
+        cfg = tiny_test_config()  # compute_dtype=float32
+        model, params = _model_and_params(cfg)
+        f32 = tmp_path / "f32.stablehlo"
+        bf16 = tmp_path / "bf16.stablehlo"
+        hx.export_serving_artifact(cfg, model, params, str(f32),
+                                   batch_size=1, platforms=("cpu",))
+        hx.export_serving_artifact(cfg, model, params, str(bf16),
+                                   batch_size=1, platforms=("cpu",),
+                                   artifact_dtype="bfloat16")
+        h, w = cfg.model.img_size
+        x = np.random.default_rng(3).standard_normal(
+            (1, h, w, cfg.model.input_channels)
+        ).astype(np.float32)
+        a = hx.artifact_engine(str(f32)).infer_batch(x)
+        b = hx.artifact_engine(str(bf16)).infer_batch(x)
+        # depth is in meters (0..max_depth); weight rounding is bf16-
+        # resolution, compounded through ~10 layers
+        assert np.max(np.abs(a["depth"] - b["depth"])) < 1.0
+
+    def test_bad_dtype_rejected(self, tmp_path):
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        with pytest.raises(ValueError, match="artifact_dtype"):
+            hx.export_serving_artifact(
+                cfg, model, params, str(tmp_path / "x.stablehlo"),
+                artifact_dtype="float16",
+            )
+
+
 class TestTpuDecoderDeployment:
     """The --tpu-decoder architecture variant has NO reference .pth
     representation (cli export refuses it); the StableHLO artifact is
