@@ -265,9 +265,40 @@ def cmd_test(args) -> int:
     if not args.checkpoint:
         print("error: --checkpoint required for test", file=sys.stderr)
         return 2
-    model, params = _load_params(cfg, args.checkpoint)
-    loaders = make_loaders(cfg.data, batch_size=args.test_batch)
-    report = evaluate(cfg, model, params, loaders["test"])
+    from camradepth_tpu.interop.hlo_export import is_artifact
+
+    if is_artifact(args.checkpoint):
+        # pre-ship validation: evaluate the EXACT compiled bits that
+        # will serve (params + lowering baked in), not a re-jitted model
+        import jax
+
+        from camradepth_tpu.evaluation.harness import (
+            make_artifact_test_step,
+        )
+        from camradepth_tpu.interop.hlo_export import (
+            load_serving_artifact,
+        )
+
+        call, header = load_serving_artifact(args.checkpoint)
+        if tuple(header["img_size"]) != tuple(cfg.model.img_size):
+            raise UserError(
+                f"artifact geometry {header['img_size']} does not match "
+                f"the '{cfg.name}' config's {list(cfg.model.img_size)} — "
+                "pass the preset it was exported from"
+            )
+        bs = int(header["batch_size"])
+        if args.test_batch != bs:
+            print(f"note: artifact batch size is {bs}; "
+                  f"overriding --test-batch {args.test_batch}")
+        loaders = make_loaders(cfg.data, batch_size=bs)
+        report = evaluate(
+            cfg, None, None, loaders["test"],
+            test_step=jax.jit(make_artifact_test_step(cfg, call, header)),
+        )
+    else:
+        model, params = _load_params(cfg, args.checkpoint)
+        loaders = make_loaders(cfg.data, batch_size=args.test_batch)
+        report = evaluate(cfg, model, params, loaders["test"])
     print(format_report(cfg, report))
     if args.report_json:
         import json

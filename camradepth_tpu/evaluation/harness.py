@@ -46,16 +46,54 @@ def make_test_step(cfg: ExperimentConfig, model):
     return test_step
 
 
+def make_artifact_test_step(cfg: ExperimentConfig, call, header):
+    """Metric rows from a StableHLO serving artifact's outputs
+    (interop/hlo_export.py): the artifact emits decoded metric depth
+    (unless exported raw) and argmax seg labels, so the depth is
+    re-encoded to the inverse space the reference metrics live in
+    (exact up to float roundoff — the decode is affine) and IoU uses
+    the label-map variant. Pre-ship validation evaluates the EXACT
+    compiled bits that will serve."""
+
+    max_depth = float(header["max_depth"])
+    decode = bool(header["decode_depth"])
+
+    def test_step(params, batch):
+        del params  # baked into the artifact
+        out = call(batch["features"])
+        depth = out["depth"]
+        enc = (1.0 - depth / max_depth) if decode else depth
+        rows = M.depth_metrics_inverse(
+            enc, batch["gt_depth"], cfg.data.max_depth,
+            cfg.data.max_distances,
+        )
+        rows.update(
+            M.depth_metrics_true(enc, batch["gt_depth"], cfg.data.max_depth)
+        )
+        if (cfg.model.supervised_seg and out.get("seg") is not None
+                and "seg" in batch):
+            rows["iou"] = M.jaccard_index_labels(
+                out["seg"], batch["seg"], cfg.model.num_classes
+            )
+        return rows
+
+    return test_step
+
+
 def evaluate(
     cfg: ExperimentConfig,
     model,
     params,
     loader,
     time_inference: bool = True,
+    test_step=None,
 ) -> Dict[str, float]:
     """Run the full test split; returns the reference report plus
-    true-depth north-star metrics and throughput."""
-    test_step = jax.jit(make_test_step(cfg, model))
+    true-depth north-star metrics and throughput. ``test_step``
+    overrides the model-built step (the deployment-artifact path,
+    :func:`make_artifact_test_step`)."""
+    if test_step is None:
+        test_step = jax.jit(make_test_step(cfg, model))
     all_rows = []
     names = []
     n_frames = 0

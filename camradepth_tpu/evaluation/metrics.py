@@ -128,7 +128,19 @@ def jaccard_index(
       target: [B, H, W] int labels
     Returns [B] mean IoU (NaN if no class present).
     """
-    pred = jnp.argmax(logits, axis=-1)
+    return jaccard_index_labels(
+        jnp.argmax(logits, axis=-1), target, num_classes, ignore_index
+    )
+
+
+def jaccard_index_labels(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    num_classes: int,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """:func:`jaccard_index` on already-argmaxed label maps [B, H, W]
+    (the StableHLO serving artifact emits labels, not logits)."""
     valid = target != ignore_index
     t = jnp.where(valid, target, 0)
 

@@ -263,6 +263,92 @@ class TestArtifactValidation:
             hx.artifact_engine(str(path), wrong)
 
 
+def test_cli_test_evaluates_artifact(tmp_path):
+    """`cli test --checkpoint model.stablehlo` = pre-ship validation of
+    the EXACT compiled bits that will serve: the metric report must
+    match the live-checkpoint report (the artifact's decoded depth is
+    re-encoded into the reference's inverse metric space — affine, so
+    only float roundoff separates the two paths)."""
+    from camradepth_tpu import cli
+    from camradepth_tpu.data import synthetic
+    from camradepth_tpu.utils import checkpoint as ck
+
+    cfg = tiny_test_config()
+    split = synthetic.generate(tmp_path / "data", num_frames=6,
+                               hw=cfg.model.img_size, seed=7)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            split_path=str(split),
+            image_dimension=cfg.model.img_size,
+            train_val_split=(2, 1),  # -> 3 test frames, batch 2 pads
+            num_workers=1,
+        )
+    )
+    model, params = _model_and_params(cfg)
+    ckpt = ck.save_checkpoint(tmp_path / "ckpt", {"params": params},
+                              epoch=0, eval_loss=0.5)
+    art = tmp_path / "model.stablehlo"
+    with mock.patch.object(cli, "_build_config", lambda a: cfg):
+        rc = cli.main([
+            "export", "--preset", "base", "--checkpoint", str(ckpt),
+            "--out", str(art), "--format", "stablehlo",
+            "--serve-batch", "2", "--platforms", "cpu",
+        ])
+        assert rc == 0
+
+        live_json = tmp_path / "live.json"
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "test", "--preset", "base", "--checkpoint", str(ckpt),
+                "--test-batch", "2",
+                "--report-json", str(live_json),
+            ])
+        assert rc == 0, buf.getvalue()[-2000:]
+
+        art_json = tmp_path / "art.json"
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "test", "--preset", "base", "--checkpoint", str(art),
+                "--test-batch", "4",  # wrong on purpose: header wins
+                "--report-json", str(art_json),
+            ])
+        out = buf.getvalue()
+        assert rc == 0, out[-2000:]
+        assert "artifact batch size is 2" in out
+        assert "RMSE" in out
+
+        live = json.loads(live_json.read_text())
+        got = json.loads(art_json.read_text())
+        assert got["frames"] == live["frames"] == 3.0
+        for k, v in live.items():
+            if k in ("wall_s", "time_per_frame_s",
+                     "frames_per_sec_end_to_end"):
+                continue
+            np.testing.assert_allclose(
+                got[k], v, rtol=1e-4, atol=1e-5, equal_nan=True,
+                err_msg=f"metric {k} diverged between live and artifact",
+            )
+
+        # geometry mismatch is a clean user error
+        import sys
+
+        wrong = cfg.replace(
+            model=dataclasses.replace(cfg.model, img_size=(32, 64))
+        )
+        with mock.patch.object(cli, "_build_config", lambda a: wrong):
+            err = io.StringIO()
+            with contextlib.redirect_stderr(err):
+                rc = cli.main([
+                    "test", "--preset", "base",
+                    "--checkpoint", str(art),
+                ])
+            assert rc == 2
+            assert "geometry" in err.getvalue()
+
+
 def test_cli_export_stablehlo_then_serve(tmp_path):
     """Product path end-to-end: `export --format stablehlo` from an
     Orbax checkpoint, then `serve --checkpoint <artifact>` streams the
