@@ -117,8 +117,10 @@ class DepthEngine:
         np.asarray(out["depth"][0, 0, 0])  # force completion
         self._warmed = True
 
-    def infer_batch(self, features: np.ndarray) -> Dict[str, np.ndarray]:
-        """features: [b<=batch_size, H, W, C]; pads the tail internally."""
+    def _dispatch(self, features: np.ndarray):
+        """Pad + H2D + enqueue the forward WITHOUT waiting for the
+        result: jitted dispatch is asynchronous, so the returned handle
+        represents in-flight device work. The pipelining primitive."""
         if not self._warmed:
             # compile outside the serving timers — a cold first request
             # must not pollute latency percentiles / throughput stats
@@ -134,21 +136,41 @@ class DepthEngine:
         if self._in_sharding is not None:
             x = jax.device_put(x, self._in_sharding)
         out = self._fwd(self.params, x)
+        return out, n, t0
+
+    def _materialize(self, handle) -> Dict[str, np.ndarray]:
+        """Block on an in-flight handle's D2H and strip tail padding.
+        The recorded per-batch time spans dispatch -> materialization
+        (in pipelined streaming this includes deliberate on-device
+        queue time, the honest per-request latency of a pipeline)."""
+        out, n, t0 = handle
         result = {"depth": np.asarray(out["depth"])[:n]}
-        self._batch_times.append(time.perf_counter() - t0)
         if out["seg"] is not None:
             result["seg"] = np.asarray(out["seg"])[:n]
+        self._batch_times.append(time.perf_counter() - t0)
         self.frames_served += n
         self.batches_served += 1
         return result
+
+    def infer_batch(self, features: np.ndarray) -> Dict[str, np.ndarray]:
+        """features: [b<=batch_size, H, W, C]; pads the tail internally."""
+        return self._materialize(self._dispatch(features))
 
     def infer_stream(
         self,
         frames: Iterable[np.ndarray],
         prefetch: int = 2,
+        inflight: int = 2,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Stream per-frame feature stacks; yields per-frame results in
-        order while a pipeline thread keeps the device fed."""
+        order. Two overlaps keep the device busy: a pipeline thread
+        stacks/stages host batches ahead (``prefetch``), and up to
+        ``inflight`` dispatched batches stay queued on the device so
+        the D2H + numpy conversion of batch N runs WHILE batch N+1
+        computes (dispatch is async; materialization is the only
+        blocking point)."""
+        from collections import deque
+
         q_in: queue.Queue = queue.Queue(maxsize=prefetch)
         _SENTINEL = object()
 
@@ -165,14 +187,24 @@ class DepthEngine:
 
         t = threading.Thread(target=batcher, daemon=True)
         t.start()
+        inflight = max(1, inflight)
+        pending: deque = deque()
+
+        def drain_one():
+            out = self._materialize(pending.popleft())
+            n = out["depth"].shape[0]
+            for i in range(n):
+                yield {k: v[i] for k, v in out.items()}
+
         while True:
             item = q_in.get()
             if item is _SENTINEL:
                 break
-            out = self.infer_batch(item)
-            n = out["depth"].shape[0]
-            for i in range(n):
-                yield {k: v[i] for k, v in out.items()}
+            pending.append(self._dispatch(item))
+            if len(pending) >= inflight:
+                yield from drain_one()
+        while pending:
+            yield from drain_one()
 
     def stats(self) -> Dict[str, float]:
         elapsed = (

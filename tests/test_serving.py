@@ -54,6 +54,29 @@ class TestDepthEngine:
         assert stats["frames"] >= 10
         assert stats["frames_per_sec"] > 0
 
+    def test_stream_pipelining_exact(self):
+        """The double-buffered stream (dispatch batch N+1 before
+        materializing batch N) must yield EXACTLY the sequential
+        results, for any in-flight window and a ragged tail."""
+        cfg, eng = _engine(batch_size=4)
+        eng.warmup()
+        h, w = cfg.model.img_size
+        rng = np.random.default_rng(2)
+        frames = [rng.standard_normal((h, w, 7)).astype(np.float32)
+                  for _ in range(7)]  # 4 + ragged 3
+        want = []
+        for i in range(0, 7, 4):
+            out = eng.infer_batch(np.stack(frames[i:i + 4]))
+            for j in range(out["depth"].shape[0]):
+                want.append({k: v[j] for k, v in out.items()})
+        for inflight in (1, 2, 3):
+            got = list(eng.infer_stream(iter(frames), inflight=inflight))
+            assert len(got) == 7
+            for g, wnt in zip(got, want):
+                assert g.keys() == wnt.keys()
+                for k in g:
+                    np.testing.assert_array_equal(g[k], wnt[k])
+
 
 def test_cli_serve_end_to_end(tmp_path):
     """`camradepth serve` streams a synthetic split through the engine
