@@ -319,10 +319,43 @@ def cmd_viz(args) -> int:
     if not args.checkpoint:
         print("error: --checkpoint required for viz", file=sys.stderr)
         return 2
-    model, params = _load_params(cfg, args.checkpoint)
-    loaders = make_loaders(cfg.data, batch_size=args.test_batch)
+    from camradepth_tpu.interop.hlo_export import is_artifact
+
+    predict = None
+    batch_size = args.test_batch
+    if is_artifact(args.checkpoint):
+        import numpy as np
+
+        from camradepth_tpu.interop.hlo_export import (
+            load_serving_artifact,
+        )
+
+        call, header = load_serving_artifact(args.checkpoint)
+        if tuple(header["img_size"]) != tuple(cfg.model.img_size):
+            raise UserError(
+                f"artifact geometry {header['img_size']} does not match "
+                f"the '{cfg.name}' config's {list(cfg.model.img_size)} — "
+                "pass the preset it was exported from"
+            )
+        batch_size = int(header["batch_size"])
+        max_depth = float(header["max_depth"])
+        decode = bool(header["decode_depth"])
+
+        def predict(feats):
+            out = call(np.asarray(feats))
+            depth = np.asarray(out["depth"])
+            if decode:  # collages want the [0,1] inverse encoding
+                depth = 1.0 - depth / max_depth
+            seg = out["seg"]
+            return depth, None if seg is None else np.asarray(seg)
+
+        model = params = None
+    else:
+        model, params = _load_params(cfg, args.checkpoint)
+    loaders = make_loaders(cfg.data, batch_size=batch_size)
     n = run_visualization(cfg, model, params, loaders["test"] or
-                          loaders["val"], args.out, args.num_vis)
+                          loaders["val"], args.out, args.num_vis,
+                          predict=predict)
     print(f"wrote {n} collages to {args.out}")
     return 0
 

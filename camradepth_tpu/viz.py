@@ -115,26 +115,37 @@ def collage(panels: Dict[str, np.ndarray], cols: int = 3) -> np.ndarray:
 
 
 def run_visualization(cfg: ExperimentConfig, model, params, loader,
-                      out_dir: str | Path, num_frames: int = 25) -> int:
+                      out_dir: str | Path, num_frames: int = 25,
+                      predict=None) -> int:
     """Batched inference + per-frame collage dump (reference
-    visualization.py:24-182). Returns the number of frames written."""
+    visualization.py:24-182). Returns the number of frames written.
+
+    ``predict(features_np) -> (depth_enc [B,H,W] in [0,1], seg labels
+    [B,H,W] or None)`` overrides the model forward — the StableHLO
+    deployment-artifact path (cli viz --checkpoint model.stablehlo)."""
     import jax
     import jax.numpy as jnp
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    predict = jax.jit(
-        lambda p, x: model.apply({"params": p}, x, deterministic=True)
-    )
+    if predict is None:
+        fwd = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, deterministic=True)
+        )
+
+        def predict(feats):
+            out = fwd(params, jnp.asarray(feats))
+            depth = np.asarray(out["depth"]["final_depth"])[..., 0]
+            seg_logits = out["seg"]["final_seg"]
+            seg = (
+                np.argmax(np.asarray(seg_logits), -1)
+                if seg_logits is not None else None
+            )
+            return depth, seg
+
     written = 0
     for batch in loader:
-        out = predict(params, jnp.asarray(batch["features"]))
-        depth = np.asarray(out["depth"]["final_depth"])[..., 0]
-        seg_logits = out["seg"]["final_seg"]
-        seg = (
-            np.argmax(np.asarray(seg_logits), -1) if seg_logits is not None
-            else None
-        )
+        depth, seg = predict(batch["features"])
         for i in range(depth.shape[0]):
             if not batch["valid"][i]:
                 continue

@@ -60,6 +60,50 @@ class TestViz:
         assert im is not None and im.size > 0
 
 
+    def test_cli_viz_from_stablehlo_artifact(self, synth, tmp_path):
+        """cli viz accepts the deployment artifact like serve/test do;
+        the artifact's decoded metric depth is re-encoded to the [0,1]
+        collage space."""
+        import contextlib
+        import io
+        import unittest.mock as mock
+
+        import jax
+        import jax.numpy as jnp
+
+        from camradepth_tpu.interop.hlo_export import (
+            export_serving_artifact,
+        )
+        from camradepth_tpu.utils import checkpoint as ck
+
+        cfg = tiny_test_config().replace(
+            data=DataConfig(image_dimension=(64, 128), split_path=synth,
+                            train_val_split=(4, 0), num_workers=2)
+        )
+        model = CamRaDepth(cfg.model)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 64, 128, 7)), deterministic=True,
+        )["params"]
+        art = tmp_path / "model.stablehlo"
+        export_serving_artifact(cfg, model, params, str(art),
+                                batch_size=2, platforms=("cpu",))
+        out = tmp_path / "viz_art"
+        with mock.patch.object(cli, "_build_config", lambda a: cfg):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = cli.main([
+                    "viz", "--preset", "base",
+                    "--checkpoint", str(art),
+                    "--out", str(out), "--num-vis", "2",
+                ])
+        assert rc == 0, buf.getvalue()
+        pngs = list(out.glob("*.png"))
+        assert len(pngs) == 2
+        im = cv2.imread(str(pngs[0]))
+        assert im is not None and im.size > 0
+
+
 class TestCLI:
     def test_help_and_unknown(self):
         with pytest.raises(SystemExit):
