@@ -475,11 +475,21 @@ def cmd_search(args) -> int:
         if loaders.get("val") is not None:
             vb = next(iter(loaders["val"]))
             val_batch = {k: vb[k] for k in _BATCH_KEYS if k in vb}
-        best, best_loss, results = vmapped_trials(
-            cfg, spaces, num_trials=args.num_trials,
-            num_steps=args.trial_steps, seed=args.seed,
-            batches=batches, val_batch=val_batch, mesh=mesh,
-        )
+        if args.halving:
+            from camradepth_tpu.train.search import vmapped_halving
+
+            best, best_loss, results = vmapped_halving(
+                cfg, spaces, num_trials=args.num_trials,
+                min_steps=args.min_steps, max_steps=args.trial_steps,
+                seed=args.seed, batches=batches, val_batch=val_batch,
+                mesh=mesh,
+            )
+        else:
+            best, best_loss, results = vmapped_trials(
+                cfg, spaces, num_trials=args.num_trials,
+                num_steps=args.trial_steps, seed=args.seed,
+                batches=batches, val_batch=val_batch, mesh=mesh,
+            )
     elif args.halving:
         best, best_loss, results = successive_halving_search(
             cfg, spaces, num_trials=args.num_trials,
@@ -858,7 +868,10 @@ def main(argv=None) -> int:
                         "vmapped program (optimizer hyperparameters "
                         "only: learning_rate/weight_decay), optionally "
                         "sharding the trial axis over --data-parallel "
-                        "devices")
+                        "devices; combine with --halving for "
+                        "checkpoint-based successive halving (survivors "
+                        "continue training, rungs prune the vmapped "
+                        "trial axis)")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="with --vmap-trials: shard the trial axis over "
                         "this many devices (num-trials must divide)")

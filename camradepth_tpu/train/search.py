@@ -162,58 +162,7 @@ def batches_from_loader(loader, update_interval: int,
     return batches
 
 
-def vmapped_trials(
-    base_cfg: ExperimentConfig,
-    search_spaces: Dict[str, Tuple[Sequence[Any], str]],
-    num_trials: int = 8,
-    num_steps: int = 50,
-    seed: int = 0,
-    batches=None,
-    val_batch=None,
-    loaders=None,
-    mesh=None,
-    model=None,
-) -> Tuple[Dict[str, Any], float, List[Dict]]:
-    """ALL trials train simultaneously as one jitted program: the trial
-    dimension is a ``jax.vmap`` axis over (params, optimizer state,
-    hyperparameters), optionally sharded across a device mesh's ``data``
-    axis — the TPU-native way to scale a sweep (one compile, N trials
-    per step, XLA batches the per-trial convs). The reference's tuner is
-    a TODO stub (runner.py:521-565); the sequential paths above mirror
-    its intended behavior, this one is the framework-grade upgrade.
-
-    Only optimizer hyperparameters can vary across vmapped trials
-    (every trial must share the model graph): supported keys are
-    ``learning_rate`` and ``weight_decay``. The onecycle schedule is
-    exactly preserved: every term of the reference schedule scales
-    linearly with max_lr, so a normalized shape (max_lr=1) times the
-    per-trial peak reproduces it.
-
-    ``batches``: iterable of microbatch dicts (leading axes
-    [update_interval, micro_batch, ...]) reused cyclically for
-    ``num_steps`` steps; all trials see identical data. ``val_batch``:
-    one dict for final ranking (falls back to the last train batch).
-    ``loaders``: alternative source when ``batches`` is None — the
-    ``make_loaders`` dict (or any object with a ``.train`` loader);
-    its [B, ...] microbatches are grouped into optimizer-step stacks
-    via :func:`batches_from_loader`, and a val batch is drawn from the
-    dict's ``val`` loader when ``val_batch`` is not given. ``mesh``: shard the trial axis over the mesh's
-    ``data`` axis (requires num_trials % mesh.shape['data'] == 0).
-    ``model``: override the flagship CamRaDepth with any Flax module
-    whose ``apply`` returns the prediction dict ``multitask_loss``
-    consumes — the unit tests inject a 2-conv toy model here because
-    XLA:CPU takes ~10 min to compile the vmapped flagship step (on TPU
-    the real-model compile is the usual one-off cost).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from camradepth_tpu.models.camradepth import CamRaDepth
-    from camradepth_tpu.train.diffgrad import scale_by_diffgrad_norm
-    from camradepth_tpu.train.losses import multitask_loss
-    from camradepth_tpu.train.schedule import onecycle
-    from camradepth_tpu.train.step import build_gt
-
+def _check_vmap_spaces(search_spaces) -> None:
     unsupported = {
         k for k in search_spaces if k not in ("learning_rate",
                                               "weight_decay")
@@ -225,27 +174,60 @@ def vmapped_trials(
             "(use the sequential search paths for those)"
         )
 
-    rng_np = np.random.default_rng(seed)
-    trials = [sample_config(search_spaces, rng_np)
-              for _ in range(num_trials)]
-    lrs = jnp.asarray(
-        [t.get("learning_rate", base_cfg.train.learning_rate)
-         for t in trials], jnp.float32)
-    wds = jnp.asarray(
-        [t.get("weight_decay", base_cfg.train.weight_decay)
-         for t in trials], jnp.float32)
 
-    cfg = base_cfg
+def _resolve_batches(batches, val_batch, loaders, update_interval):
+    """Shared batches/val_batch resolution for the vmapped sweeps."""
+    if batches is None:
+        if loaders is None:
+            raise ValueError("need batches or loaders")
+        train_loader = (
+            loaders["train"] if isinstance(loaders, dict)
+            else loaders.train
+        )
+        batches = batches_from_loader(train_loader, update_interval)
+        if not batches:
+            raise ValueError(
+                "train split too small for one optimizer step "
+                f"(need {update_interval} microbatches)"
+            )
+        if val_batch is None and (
+            isinstance(loaders, dict) and loaders.get("val") is not None
+        ):
+            from camradepth_tpu.train.trainer import _BATCH_KEYS
+
+            vb = next(iter(loaders["val"]))
+            val_batch = {
+                k: np.asarray(vb[k]) for k in _BATCH_KEYS if k in vb
+            }
+    return list(batches), val_batch
+
+
+def _vmapped_machinery(cfg: ExperimentConfig, model, total_steps: int):
+    """The one-jitted-program sweep core shared by :func:`vmapped_trials`
+    and :func:`vmapped_halving`: a vmapped train step (trial axis over
+    params/opt-state/lr/wd; jit retraces automatically when the trial
+    axis shrinks between halving rungs), a vmapped val-loss ranker, and
+    a stacked-state builder. The OneCycle schedule is normalized
+    (max_lr=1 shape x per-trial peak — every term is linear in max_lr)
+    over ``total_steps``."""
+    import jax
+    import jax.numpy as jnp
+
+    from camradepth_tpu.models.camradepth import CamRaDepth
+    from camradepth_tpu.train.diffgrad import scale_by_diffgrad_norm
+    from camradepth_tpu.train.losses import multitask_loss
+    from camradepth_tpu.train.schedule import onecycle
+    from camradepth_tpu.train.step import build_gt
+
     tr = cfg.train
     model = model if model is not None else CamRaDepth(cfg.model)
     tx = scale_by_diffgrad_norm(tr.betas[0], tr.betas[1], tr.eps)
-    shape_fn = onecycle(1.0, total_steps=num_steps,
+    shape_fn = onecycle(1.0, total_steps=total_steps,
                         pct_start=tr.pct_start,
                         div_factor=tr.div_factor,
                         final_div_factor=tr.final_div_factor)
 
     h, w = cfg.model.img_size
-    rng = jax.random.PRNGKey(tr.seed)
     dummy = jnp.zeros((1, h, w, cfg.model.input_channels), jnp.float32)
     # Jit the init on accelerator backends (eager init on the tunneled
     # TPU dispatches per-op, ~minutes for the flagship); eager on CPU
@@ -253,32 +235,18 @@ def vmapped_trials(
     # either way (see train/step.py init_state).
     init_fn = lambda k: model.init({"params": k}, dummy,
                                    deterministic=True)["params"]
-    if jax.default_backend() == "cpu":
-        params0 = init_fn(rng)
-        opt0 = tx.init(params0)
-    else:
-        params0 = jax.jit(init_fn)(rng)
-        opt0 = jax.jit(tx.init)(params0)
-    stack = lambda tree: jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (num_trials,) + x.shape), tree
-    )
-    params_t, opt_t = stack(params0), stack(opt0)
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        n_data = mesh.shape.get("data", 1)
-        if num_trials % max(1, n_data):
-            raise ValueError(
-                f"num_trials {num_trials} must divide over the data "
-                f"axis ({n_data})"
-            )
-        sh = NamedSharding(mesh, P("data"))
-        shard = lambda tree: jax.tree.map(
-            lambda x: jax.device_put(x, sh), tree
+    def make_state(num_trials: int, rng):
+        if jax.default_backend() == "cpu":
+            params0 = init_fn(rng)
+            opt0 = tx.init(params0)
+        else:
+            params0 = jax.jit(init_fn)(rng)
+            opt0 = jax.jit(tx.init)(params0)
+        stack = lambda tree: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_trials,) + x.shape), tree
         )
-        params_t, opt_t = shard(params_t), shard(opt_t)
-        lrs, wds = jax.device_put(lrs, sh), jax.device_put(wds, sh)
+        return stack(params0), stack(opt0)
 
     def loss_fn(params, micro, drop_rng):
         pred = model.apply(
@@ -328,30 +296,92 @@ def vmapped_trials(
         return loss
 
     v_val = jax.jit(jax.vmap(val_loss_fn, in_axes=(0, None)))
+    return v_step, v_val, make_state
 
-    if batches is None:
-        if loaders is None:
-            raise ValueError("need batches or loaders")
-        train_loader = (
-            loaders["train"] if isinstance(loaders, dict)
-            else loaders.train
-        )
-        batches = batches_from_loader(train_loader, tr.update_interval)
-        if not batches:
+
+def vmapped_trials(
+    base_cfg: ExperimentConfig,
+    search_spaces: Dict[str, Tuple[Sequence[Any], str]],
+    num_trials: int = 8,
+    num_steps: int = 50,
+    seed: int = 0,
+    batches=None,
+    val_batch=None,
+    loaders=None,
+    mesh=None,
+    model=None,
+) -> Tuple[Dict[str, Any], float, List[Dict]]:
+    """ALL trials train simultaneously as one jitted program: the trial
+    dimension is a ``jax.vmap`` axis over (params, optimizer state,
+    hyperparameters), optionally sharded across a device mesh's ``data``
+    axis — the TPU-native way to scale a sweep (one compile, N trials
+    per step, XLA batches the per-trial convs). The reference's tuner is
+    a TODO stub (runner.py:521-565); the sequential paths above mirror
+    its intended behavior, this one is the framework-grade upgrade.
+
+    Only optimizer hyperparameters can vary across vmapped trials
+    (every trial must share the model graph): supported keys are
+    ``learning_rate`` and ``weight_decay``. The onecycle schedule is
+    exactly preserved: every term of the reference schedule scales
+    linearly with max_lr, so a normalized shape (max_lr=1) times the
+    per-trial peak reproduces it.
+
+    ``batches``: iterable of microbatch dicts (leading axes
+    [update_interval, micro_batch, ...]) reused cyclically for
+    ``num_steps`` steps; all trials see identical data. ``val_batch``:
+    one dict for final ranking (falls back to the last train batch).
+    ``loaders``: alternative source when ``batches`` is None — the
+    ``make_loaders`` dict (or any object with a ``.train`` loader);
+    its [B, ...] microbatches are grouped into optimizer-step stacks
+    via :func:`batches_from_loader`, and a val batch is drawn from the
+    dict's ``val`` loader when ``val_batch`` is not given. ``mesh``: shard the trial axis over the mesh's
+    ``data`` axis (requires num_trials % mesh.shape['data'] == 0).
+    ``model``: override the flagship CamRaDepth with any Flax module
+    whose ``apply`` returns the prediction dict ``multitask_loss``
+    consumes — the unit tests inject a 2-conv toy model here because
+    XLA:CPU takes ~10 min to compile the vmapped flagship step (on TPU
+    the real-model compile is the usual one-off cost).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _check_vmap_spaces(search_spaces)
+
+    rng_np = np.random.default_rng(seed)
+    trials = [sample_config(search_spaces, rng_np)
+              for _ in range(num_trials)]
+    lrs = jnp.asarray(
+        [t.get("learning_rate", base_cfg.train.learning_rate)
+         for t in trials], jnp.float32)
+    wds = jnp.asarray(
+        [t.get("weight_decay", base_cfg.train.weight_decay)
+         for t in trials], jnp.float32)
+
+    cfg = base_cfg
+    tr = cfg.train
+    rng = jax.random.PRNGKey(tr.seed)
+    v_step, v_val, make_state = _vmapped_machinery(cfg, model, num_steps)
+    params_t, opt_t = make_state(num_trials, rng)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape.get("data", 1)
+        if num_trials % max(1, n_data):
             raise ValueError(
-                "train split too small for one optimizer step "
-                f"(need {tr.update_interval} microbatches)"
+                f"num_trials {num_trials} must divide over the data "
+                f"axis ({n_data})"
             )
-        if val_batch is None and (
-            isinstance(loaders, dict) and loaders.get("val") is not None
-        ):
-            from camradepth_tpu.train.trainer import _BATCH_KEYS
+        sh = NamedSharding(mesh, P("data"))
+        shard = lambda tree: jax.tree.map(
+            lambda x: jax.device_put(x, sh), tree
+        )
+        params_t, opt_t = shard(params_t), shard(opt_t)
+        lrs, wds = jax.device_put(lrs, sh), jax.device_put(wds, sh)
 
-            vb = next(iter(loaders["val"]))
-            val_batch = {
-                k: np.asarray(vb[k]) for k in _BATCH_KEYS if k in vb
-            }
-    batches = list(batches)
+    batches, val_batch = _resolve_batches(
+        batches, val_batch, loaders, tr.update_interval
+    )
     last = None
     for i in range(num_steps):
         micro = batches[i % len(batches)]
@@ -376,6 +406,135 @@ def vmapped_trials(
     ]
     order = int(np.argmin(val))
     return trials[order], float(val[order]), results
+
+
+def vmapped_halving(
+    base_cfg: ExperimentConfig,
+    search_spaces: Dict[str, Tuple[Sequence[Any], str]],
+    num_trials: int = 9,
+    min_steps: int = 10,
+    max_steps: int = 200,
+    eta: int = 3,
+    seed: int = 0,
+    batches=None,
+    val_batch=None,
+    loaders=None,
+    mesh=None,
+    model=None,
+) -> Tuple[Dict[str, Any], float, List[Dict]]:
+    """Successive halving where every rung's survivors train
+    CONCURRENTLY as one vmapped jitted program — the two search
+    upgrades composed. Unlike :func:`successive_halving_search` (which
+    retrains each rung from scratch through the sequential Trainer),
+    survivors here CONTINUE from their params/optimizer state —
+    checkpoint-based SHA, the standard formulation when all trials
+    live in one program. Rung r's cumulative budget is
+    ``min_steps * eta**r`` capped at ``max_steps``; after each rung the
+    best ceil(1/eta) fraction is gathered out of the stacked state
+    (``tree_map(x[idx])``) and jit retraces for the smaller trial axis
+    (one extra compile per rung; on TPU that cost is amortized by the
+    pruned trials' saved step time).
+
+    The OneCycle schedule is laid out over the FINAL cumulative budget
+    so the winner sees the full annealed cycle; pruned trials exit
+    mid-schedule (exactly as sequential SHA's short rungs see a
+    truncated cycle). ``mesh``: the trial axis shards over the mesh's
+    ``data`` axis whenever the current rung's trial count divides it;
+    non-divisible rungs fall back to replication.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _check_vmap_spaces(search_spaces)
+
+    rng_np = np.random.default_rng(seed)
+    trials = [sample_config(search_spaces, rng_np)
+              for _ in range(num_trials)]
+    lrs = jnp.asarray(
+        [t.get("learning_rate", base_cfg.train.learning_rate)
+         for t in trials], jnp.float32)
+    wds = jnp.asarray(
+        [t.get("weight_decay", base_cfg.train.weight_decay)
+         for t in trials], jnp.float32)
+
+    cfg = base_cfg
+    tr = cfg.train
+    # cumulative step targets per rung: min_steps * eta^r, capped
+    targets = [max(1, min_steps)]
+    while targets[-1] * eta <= max_steps:
+        targets.append(targets[-1] * eta)
+    total_steps = targets[-1]
+
+    rng = jax.random.PRNGKey(tr.seed)
+    v_step, v_val, make_state = _vmapped_machinery(cfg, model,
+                                                   total_steps)
+    params_t, opt_t = make_state(num_trials, rng)
+
+    def maybe_shard(n_alive, *trees):
+        if mesh is None:
+            return trees
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape.get("data", 1)
+        spec = P("data") if n_alive % max(1, n_data) == 0 else P()
+        sh = NamedSharding(mesh, spec)
+        return tuple(
+            jax.tree.map(lambda x: jax.device_put(x, sh), t)
+            for t in trees
+        )
+
+    params_t, opt_t, lrs, wds = maybe_shard(
+        num_trials, params_t, opt_t, lrs, wds
+    )
+
+    batches, val_batch = _resolve_batches(
+        batches, val_batch, loaders, tr.update_interval
+    )
+    if val_batch is not None:
+        val_batch = jax.tree.map(jnp.asarray, val_batch)
+
+    results: List[Dict] = []
+    step_i = 0
+    last = None
+    for rung, target in enumerate(targets):
+        while step_i < target:
+            micro = jax.tree.map(
+                jnp.asarray, batches[step_i % len(batches)]
+            )
+            last = micro
+            params_t, opt_t, _ = v_step(
+                params_t, opt_t, lrs, wds, micro,
+                jax.random.fold_in(rng, step_i), jnp.int32(step_i),
+            )
+            step_i += 1
+        vb = val_batch
+        if vb is None:
+            vb = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), last
+            )
+        val = np.asarray(v_val(params_t, vb))
+        for t, v in zip(trials, val):
+            results.append({
+                "overrides": t, "val_loss": float(v), "rung": rung,
+                "steps": target,
+            })
+        if rung == len(targets) - 1:
+            order = int(np.argmin(val))
+            return trials[order], float(val[order]), results
+        if len(trials) == 1:
+            continue  # lone survivor trains on to the final budget
+        keep = max(1, math.ceil(len(trials) / eta))
+        idx = np.argsort(val)[:keep]
+        trials = [trials[i] for i in idx]
+        gather_idx = jnp.asarray(idx)
+        gather = lambda tree: jax.tree.map(
+            lambda x: x[gather_idx], tree
+        )
+        params_t, opt_t = gather(params_t), gather(opt_t)
+        lrs, wds = lrs[gather_idx], wds[gather_idx]
+        params_t, opt_t, lrs, wds = maybe_shard(
+            len(trials), params_t, opt_t, lrs, wds
+        )
 
 
 def random_search(

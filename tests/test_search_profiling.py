@@ -338,6 +338,111 @@ class TestVmappedTrials:
         assert all(np.isfinite(r["val_loss"]) for r in seq)
         assert best_loss == min(r["val_loss"] for r in seq)
 
+    def test_vmap_halving_subcommand_wiring(self, monkeypatch, capsys):
+        """`search --vmap-trials --halving` composes the two upgrades:
+        the vmapped batch stacks route to vmapped_halving with the
+        halving budget flags."""
+        from camradepth_tpu import cli
+        from camradepth_tpu.data import pipeline as pipe_mod
+        from camradepth_tpu.train import search as search_mod
+
+        h, w = 8, 16
+        fake_loaders = {
+            "train": [
+                {
+                    "features": np.zeros((2, h, w, 7), np.float32),
+                    "gt_depth": np.ones((2, h, w), np.float32),
+                }
+                for _ in range(6)
+            ],
+            "val": None,
+        }
+        monkeypatch.setattr(pipe_mod, "make_loaders",
+                            lambda *a, **k: fake_loaders)
+        seen = {}
+
+        def fake_halving(cfg, spaces, num_trials=0, min_steps=0,
+                         max_steps=0, eta=3, seed=0, batches=None,
+                         val_batch=None, mesh=None):
+            seen.update(num_trials=num_trials, min_steps=min_steps,
+                        max_steps=max_steps, batches=batches)
+            return ({"learning_rate": 1e-4}, 0.5,
+                    [{"overrides": {"learning_rate": 1e-4},
+                      "val_loss": 0.5, "rung": 0,
+                      "steps": min_steps}])
+
+        monkeypatch.setattr(search_mod, "vmapped_halving", fake_halving)
+        rc = cli.main([
+            "search", "--preset", "base", "--vmap-trials", "--halving",
+            "--num-trials", "8", "--min-steps", "3",
+            "--trial-steps", "27", "--train-val-split", "5,2",
+        ])
+        assert rc == 0
+        assert seen["num_trials"] == 8
+        assert seen["min_steps"] == 3
+        assert seen["max_steps"] == 27
+        assert seen["batches"]  # loader stacks made it through
+        assert "best config" in capsys.readouterr().out
+
+    def test_vmapped_halving_prunes_and_continues(self):
+        """Checkpoint-based SHA over the vmapped sweep: every rung
+        halves the survivor set (jit retraces for the smaller trial
+        axis), survivors continue from their state, and the winner is
+        the final rung's best."""
+        from camradepth_tpu.train.search import vmapped_halving
+
+        cfg = tiny_test_config()
+        spaces = {"learning_rate": ([1e-4, 1e-2], "log"),
+                  "weight_decay": ([1e-6, 1e-3], "log")}
+        batches = self._batches(np.random.default_rng(4), accum=2)
+        best, best_loss, results = vmapped_halving(
+            cfg, spaces, num_trials=4, min_steps=2, max_steps=8,
+            eta=2, seed=5, batches=batches, model=self._ToyDepth(),
+        )
+        # rung 0: 4 trials at 2 steps; rung 1: 2 at 4; rung 2: 1 at 8
+        by_rung = {}
+        for r in results:
+            by_rung.setdefault(r["rung"], []).append(r)
+        assert {k: len(v) for k, v in by_rung.items()} == {0: 4, 1: 2,
+                                                           2: 1}
+        assert [v[0]["steps"] for _, v in sorted(by_rung.items())] == \
+            [2, 4, 8]
+        assert all(np.isfinite(r["val_loss"]) for r in results)
+        # survivors of rung r are the best of rung r-1
+        r0_sorted = sorted(by_rung[0], key=lambda r: r["val_loss"])
+        surv = [r["overrides"] for r in by_rung[1]]
+        assert {id(o) for o in surv} == \
+            {id(r["overrides"]) for r in r0_sorted[:2]}
+        final = by_rung[2][0]
+        assert best is final["overrides"]
+        assert best_loss == final["val_loss"]
+
+    def test_vmapped_halving_mesh_replication_fallback(self):
+        """A rung whose survivor count no longer divides the mesh's
+        data axis falls back to replication instead of crashing."""
+        import jax
+        import pytest
+
+        from camradepth_tpu.config import MeshConfig
+        from camradepth_tpu.parallel.mesh import create_mesh
+        from camradepth_tpu.train.search import vmapped_halving
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        cfg = tiny_test_config()
+        spaces = {"learning_rate": ([1e-4, 1e-2], "log")}
+        batches = self._batches(np.random.default_rng(5), accum=2)
+        mesh = create_mesh(MeshConfig(data_parallel=2),
+                           jax.devices()[:2])
+        # 4 -> 2 (divides) -> 1 (replicated rung)
+        best, best_loss, results = vmapped_halving(
+            cfg, spaces, num_trials=4, min_steps=1, max_steps=4,
+            eta=2, seed=6, batches=batches, mesh=mesh,
+            model=self._ToyDepth(),
+        )
+        assert np.isfinite(best_loss)
+        assert max(r["rung"] for r in results) == 2
+
     def test_ranks_and_mesh_parity(self):
         """One unsharded + one trial-axis-sharded run: ranking contract,
         per-trial divergence (different lr/wd must yield different
