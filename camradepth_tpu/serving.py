@@ -206,6 +206,14 @@ class DepthEngine:
         while pending:
             yield from drain_one()
 
+    def reset_stats(self) -> None:
+        """Zero the serving counters/timers (keeps the compiled forward
+        — benchmarking different stream settings on one engine)."""
+        self.frames_served = 0
+        self.batches_served = 0
+        self._t_start = None
+        self._batch_times = []
+
     def stats(self) -> Dict[str, float]:
         elapsed = (
             time.perf_counter() - self._t_start if self._t_start else 0.0

@@ -1,0 +1,103 @@
+"""Serving throughput/latency harness for the streaming DepthEngine.
+
+  python tools/serve_bench.py                      # flagship, TPU
+  python tools/serve_bench.py --tpu-decoder        # TPU variant
+  python tools/serve_bench.py --tiny --frames 8    # CPU smoke (tests)
+
+Streams synthetic frames through ``DepthEngine.infer_stream`` at each
+requested ``--inflight`` depth and prints ONE JSON line per setting:
+end-to-end fps plus p50/p95 per-batch latency (dispatch ->
+materialization). inflight=1 serializes device compute with output
+D2H/conversion; inflight>=2 overlaps them (the device-level double
+buffering) — the fps delta is the measured value of the pipeline.
+
+Timing is honest on the axon-tunneled TPU: the engine syncs via
+np.asarray of the outputs (block_until_ready does not reflect device
+completion here, CLAUDE.md), and fps is wall-clock over the whole
+stream including host-side stacking.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def build_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from camradepth_tpu.config import preset, tiny_test_config
+    from camradepth_tpu.models.camradepth import CamRaDepth
+    from camradepth_tpu.serving import DepthEngine
+
+    if args.tiny:
+        cfg = tiny_test_config()
+    else:
+        cfg = preset(args.preset)
+        if args.tpu_decoder:
+            import dataclasses
+
+            cfg = cfg.replace(
+                model=dataclasses.replace(cfg.model, tpu_decoder=True)
+            )
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    dummy = jnp.zeros((1, h, w, cfg.model.input_channels), jnp.float32)
+    init = lambda k: model.init({"params": k}, dummy,
+                                deterministic=True)["params"]
+    # jitted init: eager per-op dispatch through the tunnel takes
+    # minutes for the flagship (CLAUDE.md)
+    params = jax.jit(init)(jax.random.PRNGKey(0))
+    return cfg, DepthEngine(cfg, model, params, batch_size=args.batch)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="base")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny test config (CPU smoke)")
+    ap.add_argument("--tpu-decoder", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--inflight", default="1,2",
+                    help="comma-separated in-flight depths to compare")
+    args = ap.parse_args(argv)
+
+    cfg, engine = build_engine(args)
+    h, w = cfg.model.img_size
+    c = cfg.model.input_channels
+    rng = np.random.default_rng(0)
+    frames = [rng.standard_normal((h, w, c)).astype(np.float32)
+              for _ in range(args.frames)]
+    engine.warmup()
+
+    for inflight in (int(s) for s in args.inflight.split(",")):
+        engine.reset_stats()
+        t0 = time.perf_counter()
+        n = sum(1 for _ in engine.infer_stream(iter(frames),
+                                               inflight=inflight))
+        wall = time.perf_counter() - t0
+        stats = engine.stats()
+        print(json.dumps({
+            "inflight": inflight,
+            "frames": n,
+            "batch": args.batch,
+            "wall_s": round(wall, 4),
+            "fps_end_to_end": round(n / wall, 2),
+            "batch_ms_p50": round(stats.get("batch_ms_p50", 0.0), 2),
+            "batch_ms_p95": round(stats.get("batch_ms_p95", 0.0), 2),
+            "variant": ("tiny" if args.tiny else
+                        "tpu_decoder" if args.tpu_decoder else
+                        cfg.name),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
