@@ -573,10 +573,17 @@ def cmd_serve(args) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     def frames():
+        # pre-batched items pass through infer_stream without the
+        # per-frame unpack/restack copy; the engine re-chunks ragged
+        # tails itself. Eval loaders pad + mask the tail, so only the
+        # valid rows are forwarded.
         for batch in loader:
             feats = np.asarray(batch["features"])
-            for i in range(feats.shape[0]):
-                yield feats[i, ..., : cfg.model.input_channels]
+            valid = np.asarray(
+                batch.get("valid", np.ones(feats.shape[0]))
+            ).astype(bool)
+            feats = feats[..., : cfg.model.input_channels]
+            yield feats if valid.all() else feats[valid]
 
     n = 0
     for i, res in enumerate(engine.infer_stream(frames())):

@@ -1,8 +1,8 @@
 """Portable compiled serving artifacts (StableHLO via ``jax.export``).
 
 The reference's only deployment artifact is a torch ``.pth`` that needs
-the full reference source tree to run (runner.py re-instantiates the
-model class around the state dict). The TPU-native deployment story
+the full reference source tree to run (runner.py:124-135 torch.load's
+the state dict into a freshly constructed CamRaDepth around it). The TPU-native deployment story
 adds a self-contained SERVING artifact: the canonical serving forward
 (``serving.make_serving_forward`` — decoded metric depth + argmax seg)
 with the trained params baked in as constants, serialized as StableHLO

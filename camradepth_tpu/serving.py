@@ -162,28 +162,53 @@ class DepthEngine:
         prefetch: int = 2,
         inflight: int = 2,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Stream per-frame feature stacks; yields per-frame results in
-        order. Two overlaps keep the device busy: a pipeline thread
-        stacks/stages host batches ahead (``prefetch``), and up to
-        ``inflight`` dispatched batches stay queued on the device so
-        the D2H + numpy conversion of batch N runs WHILE batch N+1
-        computes (dispatch is async; materialization is the only
-        blocking point)."""
+        """Stream feature stacks; yields per-frame results in order.
+        Items may be single frames ``[H, W, C]`` (stacked to batches
+        here) or pre-batched ``[b, H, W, C]`` arrays (b <= batch_size
+        — a loader's batches pass through without the per-frame
+        unpack/restack copy; ragged/mixed sizes are re-chunked). Two
+        overlaps keep the device busy: a pipeline thread stacks/stages
+        host batches ahead (``prefetch``), and up to ``inflight``
+        dispatched batches stay queued on the device so the D2H +
+        numpy conversion of batch N runs WHILE batch N+1 computes
+        (dispatch is async; materialization is the only blocking
+        point)."""
         from collections import deque
 
         q_in: queue.Queue = queue.Queue(maxsize=prefetch)
         _SENTINEL = object()
 
         def batcher():
-            buf = []
-            for f in frames:
-                buf.append(f)
-                if len(buf) == self.batch_size:
+            # exceptions must flow through the queue: a raise inside
+            # this worker thread would otherwise strand the consumer
+            # on q_in.get() forever
+            try:
+                buf = []  # list of single frames awaiting a full batch
+                for f in frames:
+                    f = np.asarray(f)
+                    if f.ndim == 4:  # pre-batched
+                        if f.shape[0] > self.batch_size:
+                            raise ValueError(
+                                f"pre-batched item of {f.shape[0]} "
+                                f"frames exceeds the engine batch "
+                                f"size {self.batch_size}"
+                            )
+                        if not buf and f.shape[0] in (self.batch_size, 0):
+                            if f.shape[0]:
+                                q_in.put(f)  # fast path: no copies
+                            continue
+                        buf.extend(f)  # ragged/misaligned: re-chunk
+                    else:
+                        buf.append(f)
+                    while len(buf) >= self.batch_size:
+                        q_in.put(np.stack(buf[: self.batch_size]))
+                        buf = buf[self.batch_size:]
+                if buf:
                     q_in.put(np.stack(buf))
-                    buf = []
-            if buf:
-                q_in.put(np.stack(buf))
-            q_in.put(_SENTINEL)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q_in.put(e)
+            else:
+                q_in.put(_SENTINEL)
 
         t = threading.Thread(target=batcher, daemon=True)
         t.start()
@@ -200,6 +225,10 @@ class DepthEngine:
             item = q_in.get()
             if item is _SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                while pending:  # finish in-flight work before raising
+                    yield from drain_one()
+                raise item
             pending.append(self._dispatch(item))
             if len(pending) >= inflight:
                 yield from drain_one()

@@ -78,6 +78,87 @@ class TestDepthEngine:
                     np.testing.assert_array_equal(g[k], wnt[k])
 
 
+    def test_stream_accepts_prebatched_items(self):
+        """Pre-batched [b, H, W, C] items (a loader's batches) stream
+        through without the per-frame unpack/restack and yield the same
+        results as per-frame feeding; ragged/mixed sizes re-chunk."""
+        cfg, eng = _engine(batch_size=4)
+        eng.warmup()
+        h, w = cfg.model.img_size
+        rng = np.random.default_rng(3)
+        frames = [rng.standard_normal((h, w, 7)).astype(np.float32)
+                  for _ in range(9)]
+        want = list(eng.infer_stream(iter(frames)))
+        # full batch, ragged batch, then single frames
+        items = [np.stack(frames[0:4]), np.stack(frames[4:7]),
+                 frames[7], frames[8]]
+        got = list(eng.infer_stream(iter(items)))
+        assert len(got) == 9
+        for g, wnt in zip(got, want):
+            for k in wnt:
+                np.testing.assert_array_equal(g[k], wnt[k])
+
+    def test_stream_rejects_oversized_batch(self):
+        import pytest
+
+        cfg, eng = _engine(batch_size=2)
+        eng.warmup()
+        h, w = cfg.model.img_size
+        item = np.zeros((3, h, w, 7), np.float32)
+        with pytest.raises(ValueError, match="exceeds"):
+            list(eng.infer_stream(iter([item])))
+
+
+def test_cli_serve_skips_padded_tail_frames(tmp_path):
+    """Eval loaders pad ragged tail batches by duplicating the last
+    frame; serve must not write those duplicates as extra outputs
+    (regression: 3 test frames at batch 2 used to produce 4 files)."""
+    import contextlib
+    import dataclasses
+    import io
+    import json
+    import unittest.mock as mock
+
+    from camradepth_tpu import cli
+    from camradepth_tpu.data import synthetic
+    from camradepth_tpu.utils import checkpoint as ck
+
+    cfg = tiny_test_config()
+    split = synthetic.generate(tmp_path / "data", num_frames=6,
+                               hw=cfg.model.img_size, seed=5)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            split_path=str(split),
+            image_dimension=cfg.model.img_size,
+            train_val_split=(2, 1),  # -> 3 test frames
+            num_workers=1,
+        )
+    )
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, cfg.model.input_channels)),
+        deterministic=True,
+    )["params"]
+    ckpt_path = ck.save_checkpoint(tmp_path / "ckpt", {"params": params},
+                                   epoch=0, eval_loss=0.5)
+    out = tmp_path / "served"
+    with mock.patch.object(cli, "_build_config", lambda a: cfg):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "serve", "--preset", "base",
+                "--checkpoint", str(ckpt_path),
+                "--out", str(out), "--serve-batch", "2",
+            ])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["frames"] == 3
+    assert len(list(out.glob("*_depth.npy"))) == 3
+
+
 def test_cli_serve_end_to_end(tmp_path):
     """`camradepth serve` streams a synthetic split through the engine
     and writes per-frame metric-depth artifacts + a stats JSON line."""
