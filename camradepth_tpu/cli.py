@@ -688,6 +688,90 @@ def cmd_validate_data(args) -> int:
     return 0 if r["ok"] else 1
 
 
+def cmd_inspect(args) -> int:
+    """Bounded artifact inspector: identify + summarize any deployable
+    file this framework produces or consumes — StableHLO serving
+    artifact, reference .pth, Orbax run dir, (N,7) split table —
+    WITHOUT initializing a device backend (safe to run while the
+    tunneled TPU is unreachable; cf. doctor). One JSON object."""
+    import json
+
+    from pathlib import Path as _P
+
+    path = _P(args.path)
+    if not path.exists():
+        print(f"error: {path} does not exist", file=sys.stderr)
+        return 2
+    info: dict = {"path": str(path)}
+    from camradepth_tpu.interop.hlo_export import is_artifact, read_header
+
+    if path.is_file() and is_artifact(str(path)):
+        header, blob_bytes = read_header(str(path))
+        info.update(type="stablehlo-artifact", header=header,
+                    compiled_blob_bytes=blob_bytes)
+    elif path.is_dir():
+        # an Orbax run dir (ckpt_epoch_* children) or one checkpoint dir
+        from camradepth_tpu.utils.checkpoint import latest_checkpoint
+
+        ckpts = []
+        import re as _re
+
+        candidates = (
+            [path] if _re.match(r"ckpt_epoch_", path.name)
+            else sorted(path.glob("ckpt_epoch_*_loss_*"))
+        )
+        for p in candidates:
+            m = _re.match(r"ckpt_epoch_(\d+)_loss_([\d.]+)", p.name)
+            if not m:
+                continue
+            size = sum(f.stat().st_size for f in p.rglob("*")
+                       if f.is_file())
+            ckpts.append({
+                "name": p.name, "epoch": int(m.group(1)),
+                "eval_loss": float(m.group(2).rstrip(".")),
+                "bytes": size,
+            })
+        if not ckpts:
+            print(f"error: {path} holds no ckpt_epoch_* checkpoints",
+                  file=sys.stderr)
+            return 2
+        latest = latest_checkpoint(
+            path if candidates != [path] else path.parent
+        )
+        info.update(type="orbax-run-dir", checkpoints=ckpts,
+                    latest=str(latest) if latest else None)
+    elif path.suffix == ".pth":
+        import torch
+
+        state = torch.load(str(path), map_location="cpu",
+                           weights_only=False)
+        sd = state.get("state_dict", state) if isinstance(state, dict) \
+            else state
+        try:
+            n_params = int(sum(v.numel() for v in sd.values()))
+        except AttributeError:
+            n_params = None
+        info.update(
+            type="reference-pth", tensors=len(sd), params=n_params,
+            extra_keys=sorted(k for k in state if k != "state_dict")
+            if isinstance(state, dict) else [],
+        )
+    elif path.suffix == ".npy":
+        import numpy as np
+
+        rows = np.load(str(path), allow_pickle=True)
+        info.update(type="split-table", shape=list(rows.shape))
+        if rows.ndim == 2 and rows.shape[1] == 7 and len(rows):
+            info["first_row"] = [str(v) for v in rows[0]]
+    else:
+        print(f"error: unrecognized artifact {path} (expected a "
+              "StableHLO artifact, .pth, Orbax dir, or split .npy)",
+              file=sys.stderr)
+        return 2
+    print(json.dumps(info, indent=1))
+    return 0
+
+
 def cmd_doctor(args) -> int:
     """Environment health report. Backend init HANGS (not errors) when
     the tunneled TPU is unreachable, so every backend touch happens in a
@@ -934,6 +1018,14 @@ def main(argv=None) -> int:
     p.add_argument("--no-decode", action="store_true",
                    help="skip jpg decode (faster)")
     p.set_defaults(fn=cmd_validate_data)
+
+    p = sub.add_parser(
+        "inspect",
+        help="summarize any artifact (StableHLO/.pth/Orbax dir/split "
+             ".npy) without touching a device backend",
+    )
+    p.add_argument("path")
+    p.set_defaults(fn=cmd_inspect)
 
     p = sub.add_parser(
         "doctor",

@@ -109,6 +109,25 @@ def is_artifact(path: str) -> bool:
         return False
 
 
+def read_header(path: str) -> Tuple[Dict, int]:
+    """Parse just the JSON header (and report the compiled blob's byte
+    size) WITHOUT deserializing the program — bounded inspection that
+    never touches a backend."""
+    import os
+
+    with open(path, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError(
+                f"{path} is not a camradepth StableHLO artifact"
+            )
+        (hdr_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hdr_len).decode())
+        blob_bytes = (
+            os.fstat(f.fileno()).st_size - len(_MAGIC) - 8 - hdr_len
+        )
+    return header, blob_bytes
+
+
 def load_serving_artifact(path: str):
     """Deserialize an artifact -> ``(call, header)``; ``call`` maps a
     ``[batch_size, H, W, C]`` float32 array to the serving output dict
