@@ -754,7 +754,7 @@ def cmd_inspect(args) -> int:
         info.update(
             type="reference-pth", tensors=len(sd), params=n_params,
             extra_keys=sorted(k for k in state if k != "state_dict")
-            if isinstance(state, dict) else [],
+            if isinstance(state, dict) and "state_dict" in state else [],
         )
     elif path.suffix == ".npy":
         import numpy as np

@@ -73,6 +73,14 @@ def test_inspect_pth(tmp_path):
     assert info["tensors"] == 2
     assert info["params"] == 11
     assert info["extra_keys"] == ["lr"]
+    # a BARE state dict (no wrapper) must not spray tensor names into
+    # extra_keys
+    bare = tmp_path / "bare.pth"
+    torch.save({"a": torch.zeros(2), "b": torch.zeros(2)}, bare)
+    rc, out, _ = _run(["inspect", str(bare)])
+    assert rc == 0
+    info = json.loads(out)
+    assert info["tensors"] == 2 and info["extra_keys"] == []
 
 
 def test_inspect_split_table(tmp_path):
