@@ -586,7 +586,9 @@ def cmd_serve(args) -> int:
             yield feats if valid.all() else feats[valid]
 
     n = 0
-    for i, res in enumerate(engine.infer_stream(frames())):
+    for i, res in enumerate(
+        engine.infer_stream(frames(), inflight=args.inflight)
+    ):
         np.save(out_dir / f"{i:05d}_depth.npy", res["depth"])
         if "seg" in res:
             np.save(out_dir / f"{i:05d}_seg.npy", res["seg"])
@@ -981,6 +983,10 @@ def main(argv=None) -> int:
                         "convs below batch 8)")
     p.add_argument("--limit", type=int, default=0,
                    help="stop after N frames (0 = all)")
+    p.add_argument("--inflight", type=int, default=2,
+                   help="batches kept queued on the device so output "
+                        "D2H overlaps the next batch's compute "
+                        "(1 = fully serialized)")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard the serving batch over this many chips "
                         "(throughput scales with chips)")
