@@ -189,6 +189,20 @@ def _load_params(cfg, checkpoint: str, strict: bool = False):
         converted = convert_state_dict(sd)
         params, mismatches = ck.partial_restore_params(converted, init)
     else:
+        from pathlib import Path as _P
+
+        p = _P(checkpoint)
+        if p.is_dir() and not p.name.startswith("ckpt_epoch_"):
+            # a RUN dir: pick the best (lowest-val-loss) checkpoint,
+            # matching the reference's best-ckpt selection
+            # (runner.py:366-373 keeps the improving epochs)
+            best = ck.best_checkpoint(p)
+            if best is None:
+                raise UserError(
+                    f"{checkpoint} holds no ckpt_epoch_* checkpoints"
+                )
+            print(f"using best checkpoint {best.name}")
+            checkpoint = str(best)
         state = ck.restore_checkpoint(checkpoint, None)
         saved = state["params"] if isinstance(state, dict) and "params" in (
             state
