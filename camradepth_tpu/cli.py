@@ -300,7 +300,7 @@ def cmd_test(args) -> int:
                 f"the '{cfg.name}' config's {list(cfg.model.img_size)} — "
                 "pass the preset it was exported from"
             )
-        bs = int(header["batch_size"])
+        bs = header["batch_size"] or args.test_batch
         if args.test_batch != bs:
             print(f"note: artifact batch size is {bs}; "
                   f"overriding --test-batch {args.test_batch}")
@@ -351,7 +351,7 @@ def cmd_viz(args) -> int:
                 f"the '{cfg.name}' config's {list(cfg.model.img_size)} — "
                 "pass the preset it was exported from"
             )
-        batch_size = int(header["batch_size"])
+        batch_size = header["batch_size"] or args.test_batch
         max_depth = float(header["max_depth"])
         decode = bool(header["decode_depth"])
 
@@ -395,9 +395,10 @@ def cmd_export(args) -> int:
             batch_size=args.serve_batch,
             platforms=tuple(args.platforms.split(",")),
             artifact_dtype=args.artifact_dtype,
+            dynamic_batch=args.dynamic_batch,
         )
         print(f"wrote StableHLO serving artifact to {args.out} "
-              f"(batch {header['batch_size']}, platforms "
+              f"(batch {header['batch_size'] or 'dynamic'}, platforms "
               f"{','.join(header['platforms'])}, "
               f"{header['artifact_dtype']} weights)")
         return 0
@@ -952,6 +953,11 @@ def main(argv=None) -> int:
                         "bfloat16 halves the file and is numerically "
                         "free on bfloat16-compute configs (the "
                         "flagship default)")
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="export the stablehlo artifact with a SYMBOLIC "
+                        "batch dimension (serves any batch size; the "
+                        "runtime compiles per concrete shape on first "
+                        "use) instead of baking --serve-batch")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(

@@ -41,6 +41,7 @@ def export_serving_artifact(
     decode_depth: bool = True,
     platforms: Tuple[str, ...] = ("cpu", "tpu"),
     artifact_dtype: str = "float32",
+    dynamic_batch: bool = False,
 ) -> Dict:
     """Serialize the jitted serving forward (params baked in) to
     ``path``. Returns the artifact header dict.
@@ -50,7 +51,13 @@ def export_serving_artifact(
     flagship default) this is numerically FREE: apply casts every
     float32 param to bfloat16 at use anyway, so pre-rounding them
     changes nothing — only float32-compute configs see a (documented,
-    bf16-resolution) difference."""
+    bf16-resolution) difference.
+
+    ``dynamic_batch=True`` exports with a SYMBOLIC batch dimension
+    (``jax.export`` shape polymorphism): the artifact serves any batch
+    size (the runtime compiles per concrete shape on first use) and
+    the header records ``batch_size: null``; consumers then pick the
+    serving batch at load time."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -71,7 +78,9 @@ def export_serving_artifact(
     fwd = make_serving_forward(cfg, model, decode_depth=decode_depth)
     h, w = cfg.model.img_size
     c = cfg.model.input_channels
-    x_spec = jax.ShapeDtypeStruct((batch_size, h, w, c), jnp.float32)
+    b = (jax_export.symbolic_shape("b")[0] if dynamic_batch
+         else batch_size)
+    x_spec = jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
     exported = jax_export.export(
         jax.jit(lambda x: fwd(params, x)), platforms=list(platforms)
     )(x_spec)
@@ -79,7 +88,7 @@ def export_serving_artifact(
     header = {
         "format": "camradepth-stablehlo",
         "version": 1,
-        "batch_size": batch_size,
+        "batch_size": None if dynamic_batch else batch_size,
         "img_size": [h, w],
         "input_channels": c,
         "decode_depth": decode_depth,
@@ -155,10 +164,13 @@ def artifact_engine(
     path: str,
     cfg: Optional[ExperimentConfig] = None,
     decode_depth: Optional[bool] = None,
+    batch_size: Optional[int] = None,
 ):
     """A ready ``DepthEngine`` serving an exported artifact. ``cfg`` is
     only used for bookkeeping (the artifact is self-contained); when
-    given, its geometry must match the header."""
+    given, its geometry must match the header. ``batch_size`` selects
+    the serving batch for DYNAMIC-batch artifacts (default 8); fixed
+    artifacts always use their baked size."""
     from camradepth_tpu.serving import DepthEngine
 
     call, header = load_serving_artifact(path)
@@ -193,7 +205,7 @@ def artifact_engine(
         cfg,
         model=None,
         params=None,
-        batch_size=header["batch_size"],
+        batch_size=header["batch_size"] or batch_size or 8,
         decode_depth=header["decode_depth"],
         forward_fn=lambda p, x: call(x),
     )

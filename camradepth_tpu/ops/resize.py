@@ -74,11 +74,11 @@ def _upsample_axis_x2(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     if x.ndim == 3:
         out = _upsample_axis_x2(x[None], axis + 1)
         return out[0]
-    # collapse any extra leading dims into batch
-    lead = orig_shape[: x.ndim - 3]
-    b = int(np.prod(lead)) if lead else 1
+    # collapse any extra leading dims into batch (-1 keeps this safe
+    # for jax.export symbolic batch dims — int(np.prod) would force a
+    # constant and break dynamic-batch serving artifacts)
     h, w, c = orig_shape[-3:]
-    x4 = x.reshape(b, h, w, c)
+    x4 = x.reshape((-1, h, w, c))
     ax = axis - (x.ndim - 4)  # 1 for H, 2 for W
 
     pad_width = [(0, 0)] * 4

@@ -316,7 +316,7 @@ def load_engine(
                 "partitioning is fixed at export time; pass an Orbax/"
                 ".pth checkpoint for --data-parallel/--spatial-parallel"
             )
-        engine = artifact_engine(checkpoint, cfg)
+        engine = artifact_engine(checkpoint, cfg, batch_size=batch_size)
         engine.warmup()
         return engine
     from camradepth_tpu.cli import _load_params

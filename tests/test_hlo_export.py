@@ -100,6 +100,34 @@ class TestArtifactRoundtrip:
         assert np.isfinite(out["depth"]).all()
 
 
+class TestDynamicBatch:
+    def test_dynamic_artifact_serves_any_batch(self, tmp_path):
+        """--dynamic-batch exports a symbolic batch dimension: one
+        artifact serves batch 1 AND 3 (runtime compiles per concrete
+        shape), matching the live engine bit-for-bit."""
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        path = tmp_path / "dyn.stablehlo"
+        header = hx.export_serving_artifact(
+            cfg, model, params, str(path), platforms=("cpu",),
+            dynamic_batch=True,
+        )
+        assert header["batch_size"] is None
+        h, w = cfg.model.img_size
+        x = np.random.default_rng(4).standard_normal(
+            (5, h, w, cfg.model.input_channels)
+        ).astype(np.float32)
+        live = DepthEngine(cfg, model, params, batch_size=5)
+        want = live.infer_batch(x)
+        for bs in (1, 3):
+            eng = hx.artifact_engine(str(path), cfg, batch_size=bs)
+            assert eng.batch_size == bs
+            got = [r["depth"] for r in eng.infer_stream(iter(x))]
+            np.testing.assert_allclose(
+                np.stack(got), want["depth"], rtol=1e-6, atol=1e-6
+            )
+
+
 class TestArtifactDtype:
     def test_bf16_halves_size_and_matches_on_bf16_compute(self, tmp_path):
         """On a bfloat16-compute config (the flagship default) baking
