@@ -21,6 +21,7 @@ which has NO reference-format representation (``cli export`` refuses
 
 from __future__ import annotations
 
+import hashlib
 import json
 import struct
 from pathlib import Path
@@ -97,6 +98,7 @@ def export_serving_artifact(
         "max_depth": float(cfg.data.max_depth),
         "platforms": list(platforms),
         "artifact_dtype": artifact_dtype,
+        "blob_sha256": hashlib.sha256(blob).hexdigest(),
     }
     hdr = json.dumps(header).encode()
     with open(path, "wb") as f:
@@ -155,7 +157,16 @@ def load_serving_artifact(path: str):
     (hdr_len,) = struct.unpack("<Q", raw[off: off + 8])
     off += 8
     header = json.loads(raw[off: off + hdr_len].decode())
-    exported = jax_export.deserialize(raw[off + hdr_len:])
+    blob = raw[off + hdr_len:]
+    want = header.get("blob_sha256")
+    if want is not None:
+        got = hashlib.sha256(blob).hexdigest()
+        if got != want:
+            raise ValueError(
+                f"{path} is corrupt: compiled-program hash mismatch "
+                f"(truncated download or bit rot — re-export)"
+            )
+    exported = jax_export.deserialize(blob)
     call = jax.jit(exported.call)
     return call, header
 

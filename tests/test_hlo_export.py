@@ -272,6 +272,20 @@ class TestArtifactValidation:
         assert not hx.is_artifact(str(other))
         assert not hx.is_artifact(str(tmp_path / "missing.pth"))
 
+    def test_corrupt_blob_rejected(self, tmp_path):
+        """One flipped byte in the compiled program fails the header's
+        sha256 at load — truncation/bit rot cannot silently serve."""
+        cfg = tiny_test_config()
+        model, params = _model_and_params(cfg)
+        p = tmp_path / "a.stablehlo"
+        hx.export_serving_artifact(cfg, model, params, str(p),
+                                   batch_size=1, platforms=("cpu",))
+        raw = bytearray(p.read_bytes())
+        raw[-1] ^= 0xFF
+        p.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="corrupt"):
+            hx.load_serving_artifact(str(p))
+
     def test_bad_magic_rejected(self, tmp_path):
         p = tmp_path / "junk.stablehlo"
         p.write_bytes(b"JUNKJUNK" + b"\x00" * 64)
