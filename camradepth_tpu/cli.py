@@ -579,6 +579,12 @@ def cmd_serve(args) -> int:
         if is_artifact(args.checkpoint):
             raise UserError(str(e)) from e
         raise
+    if getattr(args, "http_port", None) is not None:
+        # network mode: REST endpoint instead of split streaming
+        from camradepth_tpu.serving_http import serve_forever
+
+        serve_forever(engine, cfg, args.http_host, args.http_port)
+        return 0
     loaders = make_loaders(cfg.data, batch_size=args.serve_batch)
     loader = loaders.get("test") or loaders.get("val")
     if loader is None:
@@ -1007,6 +1013,11 @@ def main(argv=None) -> int:
                    help="batches kept queued on the device so output "
                         "D2H overlaps the next batch's compute "
                         "(1 = fully serialized)")
+    p.add_argument("--http-port", type=int, default=None,
+                   help="serve a REST endpoint instead of streaming a "
+                        "split: GET /healthz, GET /v1/info, POST "
+                        "/v1/depth (.npy in, .npz out); 0 = ephemeral")
+    p.add_argument("--http-host", default="0.0.0.0")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard the serving batch over this many chips "
                         "(throughput scales with chips)")

@@ -1,0 +1,109 @@
+"""HTTP serving front end (serving_http.py): REST endpoint over the
+streaming engine — health, info, inference (npy in / npz out), input
+validation — pinned byte-equal to the in-process engine."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camradepth_tpu.config import tiny_test_config
+from camradepth_tpu.models.camradepth import CamRaDepth
+from camradepth_tpu.serving import DepthEngine
+from camradepth_tpu.serving_http import start_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_test_config()
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, cfg.model.input_channels)),
+        deterministic=True,
+    )["params"]
+    engine = DepthEngine(cfg, model, params, batch_size=2)
+    srv, _ = start_server(engine, cfg, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    yield cfg, engine, f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_npy(url, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def test_healthz_and_info(server):
+    cfg, engine, base = server
+    status, health = _get(base + "/healthz")
+    assert status == 200 and health["status"] == "ok"
+    status, info = _get(base + "/v1/info")
+    assert status == 200
+    assert info["batch_size"] == 2
+    assert info["img_size"] == list(cfg.model.img_size)
+    assert info["max_depth"] == cfg.data.max_depth
+
+
+def test_depth_inference_matches_engine(server):
+    cfg, engine, base = server
+    h, w = cfg.model.img_size
+    x = np.random.default_rng(0).standard_normal(
+        (2, h, w, cfg.model.input_channels)
+    ).astype(np.float32)
+    status, body = _post_npy(base + "/v1/depth", x)
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    want = engine.infer_batch(x)
+    np.testing.assert_array_equal(out["depth"], want["depth"])
+    if "seg" in want:
+        np.testing.assert_array_equal(out["seg"], want["seg"])
+
+    # unbatched [H, W, C] is accepted and served as batch 1
+    status, body = _post_npy(base + "/v1/depth", x[0])
+    assert status == 200
+    out1 = np.load(io.BytesIO(body))
+    assert out1["depth"].shape == (1, h, w)
+    np.testing.assert_array_equal(out1["depth"][0], out["depth"][0])
+
+
+def test_input_validation(server):
+    cfg, engine, base = server
+    h, w = cfg.model.img_size
+
+    def post_expect_400(arr=None, raw=None):
+        data = raw
+        if data is None:
+            buf = io.BytesIO()
+            np.save(buf, arr)
+            data = buf.getvalue()
+        req = urllib.request.Request(base + "/v1/depth", data=data,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        return json.loads(e.value.read())
+
+    err = post_expect_400(np.zeros((3, h, w, 7), np.float32))  # b > max
+    assert "b<=2" in err["error"]
+    post_expect_400(np.zeros((h, w), np.float32))  # wrong rank
+    err = post_expect_400(raw=b"not an npy")
+    assert ".npy" in err["error"]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+    assert e.value.code == 404
