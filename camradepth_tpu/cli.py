@@ -583,7 +583,8 @@ def cmd_serve(args) -> int:
         # network mode: REST endpoint instead of split streaming
         from camradepth_tpu.serving_http import serve_forever
 
-        serve_forever(engine, cfg, args.http_host, args.http_port)
+        serve_forever(engine, cfg, args.http_host, args.http_port,
+                      batch_window_ms=args.http_batch_window_ms)
         return 0
     loaders = make_loaders(cfg.data, batch_size=args.serve_batch)
     loader = loaders.get("test") or loaders.get("val")
@@ -1018,6 +1019,11 @@ def main(argv=None) -> int:
                         "split: GET /healthz, GET /v1/info, POST "
                         "/v1/depth (.npy in, .npz out); 0 = ephemeral")
     p.add_argument("--http-host", default="0.0.0.0")
+    p.add_argument("--http-batch-window-ms", type=float, default=3.0,
+                   help="cross-request micro-batching window: "
+                        "concurrent POSTs coalesce into one device "
+                        "batch (batch-1 forwards cost ~3x a batched "
+                        "slot here); 0 disables")
     p.add_argument("--data-parallel", type=int, default=1,
                    help="shard the serving batch over this many chips "
                         "(throughput scales with chips)")

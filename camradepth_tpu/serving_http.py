@@ -27,13 +27,103 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
 import numpy as np
 
 
-def make_handler(engine, cfg):
+class BatchAggregator:
+    """Cross-request micro-batching (the TF-Serving pattern): concurrent
+    single-frame POSTs coalesce into one device batch instead of
+    serializing as batch-1 calls — on this architecture a batch-1
+    forward costs ~3x a batched per-frame slot (XLA space-to-batches
+    small-batch convs; CLAUDE.md perf ledger), so aggregation is the
+    difference between 34 and 96+ fps under concurrent load.
+
+    A request blocks until its frames are served. The collector takes
+    whatever is pending the moment the device frees up, waiting at most
+    ``max_wait_ms`` after a round's first arrival to let stragglers
+    join; requests that would overflow the engine batch stay queued for
+    the next round (FIFO, so no starvation)."""
+
+    def __init__(self, engine, max_wait_ms: float = 3.0):
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1000.0
+        self._cv = threading.Condition()
+        self._pending = []  # [dict(arr, event, result, error)]
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def infer(self, arr: np.ndarray) -> dict:
+        req = {"arr": arr, "event": threading.Event(), "result": None,
+               "error": None}
+        with self._cv:
+            self._pending.append(req)
+            self._cv.notify()
+        req["event"].wait()
+        if req["error"] is not None:
+            raise req["error"]
+        return req["result"]
+
+    def _take_round(self):
+        """Wait for work, give stragglers max_wait to join, then take
+        the longest FIFO prefix that fits the engine batch."""
+        with self._cv:
+            while self._running and not self._pending:
+                self._cv.wait()
+            if not self._running:
+                return []
+            deadline = time.monotonic() + self.max_wait
+            while self._running:
+                have = sum(r["arr"].shape[0] for r in self._pending)
+                left = deadline - time.monotonic()
+                if have >= self.engine.batch_size or left <= 0:
+                    break
+                self._cv.wait(timeout=left)
+            batch, used = [], 0
+            while self._pending:
+                n = self._pending[0]["arr"].shape[0]
+                if used + n > self.engine.batch_size:
+                    break
+                used += n
+                batch.append(self._pending.pop(0))
+            return batch
+
+    def _loop(self):
+        while self._running:
+            batch = self._take_round()
+            if not batch:
+                continue
+            try:
+                x = np.concatenate([r["arr"] for r in batch])
+                out = self.engine.infer_batch(x)
+                off = 0
+                for r in batch:
+                    n = r["arr"].shape[0]
+                    r["result"] = {k: v[off: off + n]
+                                   for k, v in out.items()}
+                    off += n
+            except Exception as e:  # surface to every waiting request
+                for r in batch:
+                    r["error"] = e
+            finally:
+                for r in batch:
+                    r["event"].set()
+
+    def close(self):
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+        for r in self._pending:  # unblock anything still queued
+            r["error"] = RuntimeError("server shutting down")
+            r["event"].set()
+
+
+def make_handler(engine, cfg, aggregator: Optional[BatchAggregator] = None):
     lock = threading.Lock()
     h, w = cfg.model.img_size
     c = cfg.model.input_channels
@@ -87,10 +177,16 @@ def make_handler(engine, cfg):
                     f"{arr.dtype} {list(arr.shape)}"
                 )})
                 return
-            with lock:  # device calls are serialized; I/O is not
-                out = engine.infer_batch(
-                    np.ascontiguousarray(arr, np.float32)
-                )
+            arr = np.ascontiguousarray(arr, np.float32)
+            if aggregator is not None:
+                try:
+                    out = aggregator.infer(arr)
+                except RuntimeError as e:
+                    self._json(503, {"error": str(e)})
+                    return
+            else:
+                with lock:  # device calls serialized; I/O is not
+                    out = engine.infer_batch(arr)
             buf = io.BytesIO()
             np.savez(buf, **out)
             body = buf.getvalue()
@@ -104,20 +200,29 @@ def make_handler(engine, cfg):
 
 
 def start_server(engine, cfg, host: str = "0.0.0.0", port: int = 8080,
+                 batch_window_ms: float = 3.0,
                  ) -> Tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the server on a daemon thread; returns (server, thread).
     ``port=0`` binds an ephemeral port (tests); the bound port is
-    ``server.server_address[1]``. Call ``server.shutdown()`` to stop."""
+    ``server.server_address[1]``. Call ``server.shutdown()`` to stop.
+    ``batch_window_ms > 0`` turns on cross-request micro-batching
+    (:class:`BatchAggregator`); 0 serializes requests one by one."""
     engine.warmup()  # compile before the first request, not during it
-    srv = ThreadingHTTPServer((host, port), make_handler(engine, cfg))
+    agg = (BatchAggregator(engine, batch_window_ms)
+           if batch_window_ms > 0 else None)
+    srv = ThreadingHTTPServer((host, port),
+                              make_handler(engine, cfg, agg))
+    srv._camradepth_aggregator = agg  # for shutdown/tests
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t
 
 
-def serve_forever(engine, cfg, host: str, port: int) -> None:
+def serve_forever(engine, cfg, host: str, port: int,
+                  batch_window_ms: float = 3.0) -> None:
     """Blocking CLI entry: serve until SIGINT, then print final stats."""
-    srv, t = start_server(engine, cfg, host, port)
+    srv, t = start_server(engine, cfg, host, port,
+                          batch_window_ms=batch_window_ms)
     print(json.dumps({
         "serving": f"http://{host}:{srv.server_address[1]}",
         "batch_size": engine.batch_size,
@@ -128,4 +233,6 @@ def serve_forever(engine, cfg, host: str, port: int) -> None:
         pass
     finally:
         srv.shutdown()
+        if srv._camradepth_aggregator is not None:
+            srv._camradepth_aggregator.close()
         print(json.dumps(engine.stats()), flush=True)

@@ -18,6 +18,83 @@ from camradepth_tpu.serving import DepthEngine
 from camradepth_tpu.serving_http import start_server
 
 
+class _FakeEngine:
+    """Counts infer_batch calls; output encodes input order."""
+
+    def __init__(self, batch_size):
+        self.batch_size = batch_size
+        self.calls = []
+
+    def infer_batch(self, x):
+        self.calls.append(x.shape[0])
+        return {"depth": x[..., 0] * 2.0}
+
+
+class TestBatchAggregator:
+    def test_concurrent_requests_coalesce(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from camradepth_tpu.serving_http import BatchAggregator
+
+        eng = _FakeEngine(batch_size=4)
+        agg = BatchAggregator(eng, max_wait_ms=1000.0)
+        try:
+            xs = [np.full((1, 2, 2, 3), float(i), np.float32)
+                  for i in range(4)]
+            with ThreadPoolExecutor(4) as pool:
+                outs = list(pool.map(agg.infer, xs))
+            for i, o in enumerate(outs):  # results routed per request
+                np.testing.assert_array_equal(
+                    o["depth"], np.full((1, 2, 2), 2.0 * i)
+                )
+            # all four 1-frame requests ran as ONE device batch
+            assert eng.calls == [4]
+        finally:
+            agg.close()
+
+    def test_fifo_overflow_spills_to_next_round(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from camradepth_tpu.serving_http import BatchAggregator
+
+        eng = _FakeEngine(batch_size=2)
+        agg = BatchAggregator(eng, max_wait_ms=500.0)
+        try:
+            xs = [np.full((1, 2, 2, 3), float(i), np.float32)
+                  for i in range(3)]
+            with ThreadPoolExecutor(3) as pool:
+                outs = list(pool.map(agg.infer, xs))
+            for i, o in enumerate(outs):
+                np.testing.assert_array_equal(
+                    o["depth"], np.full((1, 2, 2), 2.0 * i)
+                )
+            assert sorted(eng.calls) == [1, 2]  # 2-frame round + spill
+        finally:
+            agg.close()
+
+    def test_engine_error_propagates_to_all_waiters(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from camradepth_tpu.serving_http import BatchAggregator
+
+        class Boom:
+            batch_size = 2
+
+            def infer_batch(self, x):
+                raise RuntimeError("device fell over")
+
+        agg = BatchAggregator(Boom(), max_wait_ms=500.0)
+        try:
+            xs = [np.zeros((1, 2, 2, 3), np.float32)] * 2
+            with ThreadPoolExecutor(2) as pool:
+                futs = [pool.submit(agg.infer, x) for x in xs]
+                for f in futs:
+                    with pytest.raises(RuntimeError, match="fell over"):
+                        f.result(timeout=30)
+        finally:
+            agg.close()
+
+
 @pytest.fixture(scope="module")
 def server():
     cfg = tiny_test_config()
