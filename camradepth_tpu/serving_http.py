@@ -144,6 +144,23 @@ def make_handler(engine, cfg, aggregator: Optional[BatchAggregator] = None):
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", **engine.stats()})
+            elif self.path == "/metrics":
+                # Prometheus text exposition format (stdlib-only)
+                s = engine.stats()
+                lines = []
+                for k, v in s.items():
+                    name = f"camradepth_{k}"
+                    kind = ("counter" if k in ("frames", "batches")
+                            else "gauge")
+                    lines.append(f"# TYPE {name} {kind}")
+                    lines.append(f"{name} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/v1/info":
                 self._json(200, {
                     "batch_size": engine.batch_size,

@@ -136,6 +136,16 @@ def test_healthz_and_info(server):
     assert info["max_depth"] == cfg.data.max_depth
 
 
+def test_metrics_prometheus_format(server):
+    cfg, engine, base = server
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert "text/plain" in r.headers["Content-Type"]
+        text = r.read().decode()
+    assert "# TYPE camradepth_frames counter" in text
+    assert "camradepth_frames_per_sec" in text
+
+
 def test_depth_inference_matches_engine(server):
     cfg, engine, base = server
     h, w = cfg.model.img_size
