@@ -253,6 +253,24 @@ def cmd_prep(args) -> int:
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "multihost", False) or getattr(
+        args, "coordinator", None
+    ):
+        # must run before ANY backend touch (Trainer/jax imports below)
+        from camradepth_tpu.parallel import multihost
+
+        if args.coordinator and (
+            args.num_processes is None or args.process_id is None
+        ):
+            raise UserError(
+                "--coordinator requires --num-processes and --process-id"
+            )
+        multihost.initialize(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     from camradepth_tpu.train.trainer import Trainer
 
     cfg = _build_config(args)
@@ -265,7 +283,7 @@ def cmd_train(args) -> int:
         mesh_kw["spatial_parallel"] = args.spatial_parallel
     if mesh_kw:
         cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, **mesh_kw))
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, run_dir=getattr(args, "run_dir", None))
     best = trainer.train()
     print(f"best val loss: {best:.6f}")
     return 0
@@ -678,6 +696,25 @@ def cmd_summary(args) -> int:
           f"(MXU lane/sublane-padded attainable floor at batch {b}: "
           f"{floor_ms:.2f} ms/frame on v5e — compute term only; "
           f"bench.py adds the HBM bytes term)")
+
+    if getattr(args, "project_scaling", None):
+        from camradepth_tpu.utils import scaling
+
+        step_ms = args.step_time_ms
+        if step_ms is None:
+            # last measured --tpu-tuned train step (CLAUDE.md perf
+            # ledger); override with --step-time-ms from a fresh
+            # tools/profile_train.py run
+            step_ms = 372.6
+        pts = scaling.project_dp_scaling(
+            total, step_ms / 1e3,
+            n_chips=[1, 2, 4, 8, 16, 32, 64],
+            mode=args.project_scaling,
+        )
+        frames = cfg.train.desired_batch_size or cfg.train.batch_size
+        print()
+        print(scaling.format_projection(
+            pts, args.project_scaling, total, frames_per_step=frames))
     return 0
 
 
@@ -921,6 +958,20 @@ def main(argv=None) -> int:
                         "sharding)")
     p.add_argument("--spatial-parallel", type=int, default=None,
                    help="shard the image H axis over this many chips")
+    p.add_argument("--run-dir", default=None,
+                   help="explicit run directory (required for "
+                        "multi-process runs; default: auto-indexed "
+                        "Output/<arch>/<run>/<n>)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host pod: jax.distributed."
+                        "initialize with TPU auto-detection (one process "
+                        "per host; run the same command on every host)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-process coordinator address (explicit "
+                        "form of --multihost for non-TPU clusters/tests; "
+                        "requires --num-processes and --process-id)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("test", help="test-split metric report")
@@ -1043,6 +1094,15 @@ def main(argv=None) -> int:
     p.add_argument("--summary-batch", type=int, default=8,
                    help="batch size for the FLOPs/floor analysis "
                         "(matches bench.py's headline batch)")
+    p.add_argument("--project-scaling", choices=["weak", "strong"],
+                   default=None,
+                   help="also print the analytic data-parallel scaling "
+                        "projection (gradient all-reduce vs compute; "
+                        "utils/scaling.py — projection, not measurement)")
+    p.add_argument("--step-time-ms", type=float, default=None,
+                   help="measured single-chip train-step ms to anchor "
+                        "--project-scaling (default: last recorded "
+                        "--tpu-tuned measurement)")
     p.set_defaults(fn=cmd_summary)
 
     p = sub.add_parser(

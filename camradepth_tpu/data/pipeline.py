@@ -192,26 +192,44 @@ class BatchLoader:
 
 
 def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
-                 num_workers: Optional[int] = None, seed: int = 0):
+                 num_workers: Optional[int] = None, seed: int = 0,
+                 process_shard=None):
     """Train/val/test loaders over a split file (reference
     make_dataloaders, dataloader.py:22-50): train = rows[:n_train] shuffled,
     val = next n_val, test = remainder at batch 1 semantics (we batch test
-    too — metrics are per-frame either way)."""
+    too — metrics are per-frame either way).
+
+    ``process_shard=(process_id, process_count)`` is the multi-host IO
+    path: the TRAIN rows partition disjointly across processes (each host
+    reads only its slice; ``batch_size`` is then the per-process size and
+    the Trainer stitches the global batch from the local ones). The row
+    count is truncated to a multiple of process_count first so every
+    process sees the SAME number of batches — unequal epoch lengths would
+    deadlock the lockstep SPMD collectives. Val/test stay replicated
+    (every process evaluates the full split; host-side aggregation has no
+    cross-process reduction)."""
     rows = load_split(split_path or cfg.split_path)
     tr, va, te = split_ranges(len(rows), cfg.effective_train_val_split)
     workers = cfg.num_workers if num_workers is None else num_workers
 
-    def mk(r, shuffle, bs, drop):
+    def mk(r, shuffle, bs, drop, shard=False):
         if len(r) == 0:
             return None
-        frames = NuscenesFrames(rows[list(r)], cfg, seed=seed)
+        sel = rows[list(r)]
+        if shard and process_shard is not None:
+            pid, pc = process_shard
+            n = (len(sel) // pc) * pc
+            if n == 0:
+                return None
+            sel = sel[:n][pid::pc]
+        frames = NuscenesFrames(sel, cfg, seed=seed)
         return BatchLoader(
             frames, bs, shuffle=shuffle, num_workers=workers,
             prefetch=cfg.prefetch, drop_remainder=drop, seed=seed,
         )
 
     return {
-        "train": mk(tr, True, batch_size, True),
+        "train": mk(tr, True, batch_size, True, shard=True),
         "val": mk(va, False, batch_size, False),
         "test": mk(te, False, batch_size, False),
     }

@@ -58,10 +58,10 @@ def create_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     ``devices[:2]``) and CPU meshes keep the deterministic linear
     order; an explicit list that covers every device (the Trainer
     passes ``jax.devices()[:n]``) still gets the topology-aware
-    ordering. Scope note:
-    single-host multi-chip is the tested configuration; multi-host pods
-    additionally need ``jax.distributed.initialize`` plus
-    process-local batch assembly and are out of scope here."""
+    ordering. Multi-host pods work through this same function —
+    ``jax.devices()`` is the global set after
+    ``parallel.multihost.initialize`` — with batch/param placement
+    handled by :mod:`parallel.multihost` (process-local shards only)."""
     explicit = devices is not None
     devices = devices if explicit else jax.devices()
     n = len(devices)

@@ -33,6 +33,7 @@ from camradepth_tpu.config import (
 )
 from camradepth_tpu.data.pipeline import make_loaders
 from camradepth_tpu.models.camradepth import CamRaDepth
+from camradepth_tpu.parallel import multihost
 from camradepth_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
@@ -48,7 +49,11 @@ from camradepth_tpu.train.step import (
     make_train_step,
 )
 from camradepth_tpu.utils import checkpoint as ckpt_util
-from camradepth_tpu.utils.logging import MetricWriter, create_run_dir
+from camradepth_tpu.utils.logging import (
+    MetricWriter,
+    NullWriter,
+    create_run_dir,
+)
 
 _BATCH_KEYS = ("features", "gt_depth", "seg", "seg_inter")
 
@@ -166,10 +171,56 @@ class Trainer:
     ):
         self.cfg = cfg
         self.model = CamRaDepth(cfg.model)
-        self.loaders = loaders or make_loaders(
-            cfg.data, cfg.train.batch_size
-        )
         self.mesh = mesh if mesh is not None else _auto_mesh(cfg)
+        if multihost.is_multiprocess():
+            if self.mesh is None:
+                raise ValueError(
+                    "multi-process training requires a device mesh "
+                    "(every process must participate in one SPMD "
+                    "program); check that batch_size divides over the "
+                    "mesh axes"
+                )
+            mesh_procs = {
+                d.process_index for d in self.mesh.devices.flat
+            }
+            if len(mesh_procs) != jax.process_count():
+                raise ValueError(
+                    f"training mesh spans {len(mesh_procs)} of "
+                    f"{jax.process_count()} processes; a process "
+                    "without mesh devices cannot read the replicated "
+                    "metrics and would desync — size the mesh "
+                    "(batch_size / --data-parallel) to cover every "
+                    "host's devices"
+                )
+        # multi-host IO: when the batch axis spans processes (data/fsdp
+        # training meshes — sp==1), each process loads only its slice of
+        # every train batch (disjoint row partition) and the global batch
+        # is stitched from the local pieces at device_put time. An
+        # sp-only mesh replicates the batch, so every process must load
+        # the SAME full batches (seed-deterministic loaders guarantee
+        # agreement). Explicitly passed loaders are assumed to yield full
+        # global batches.
+        self._loader_process_sharded = (
+            loaders is None
+            and multihost.is_multiprocess()
+            and self.mesh is not None
+            and self.mesh.shape.get(cfg.mesh.sp_axis, 1) == 1
+        )
+        if self._loader_process_sharded:
+            pc = jax.process_count()
+            if cfg.train.batch_size % pc:
+                raise ValueError(
+                    f"batch_size {cfg.train.batch_size} must divide over "
+                    f"{pc} processes"
+                )
+            self.loaders = make_loaders(
+                cfg.data, cfg.train.batch_size // pc,
+                process_shard=(jax.process_index(), pc),
+            )
+        else:
+            self.loaders = loaders or make_loaders(
+                cfg.data, cfg.train.batch_size
+            )
 
         if self.loaders.get("train") is None:
             # mini_dataset sets effective_train_val_split=(0,0), which gives
@@ -219,7 +270,11 @@ class Trainer:
                 opt_state=jax.tree.map(rule, self.state.opt_state),
                 step=replicated(self.mesh),
             )
-            self.state = jax.device_put(self.state, self._state_shardings)
+            # put_global == device_put single-process; in multi-host runs
+            # it materializes only this process's addressable shards
+            self.state = multihost.put_global(
+                self.state, self._state_shardings
+            )
             sp_axis = (
                 mc.sp_axis if self.mesh.shape.get(mc.sp_axis, 1) > 1 else None
             )
@@ -246,6 +301,15 @@ class Trainer:
             )
             self._eval_step = jax.jit(make_eval_step(cfg, self.model))
 
+        if run_dir is None and multihost.is_multiprocess():
+            # create_run_dir auto-indexes — concurrent processes would
+            # race to different directories; multi-host runs must agree
+            # on the run dir up front (it also anchors auto-resume)
+            raise ValueError(
+                "multi-process training requires an explicit run_dir "
+                "(pass --run-dir) so every process uses the same "
+                "directory"
+            )
         self.run_dir = (
             Path(run_dir)
             if run_dir
@@ -253,11 +317,15 @@ class Trainer:
                 cfg.train.output_dir, cfg.train.arch_name, cfg.train.run_name
             )
         )
-        self.writer = MetricWriter(self.run_dir)
+        # single-writer discipline: only process 0 owns run-dir artifacts
+        self._primary = multihost.is_primary()
+        self.writer = MetricWriter(self.run_dir) if self._primary \
+            else NullWriter()
         self.training_steps = 0
         self.val_steps = 0
         self.start_epoch = 0
-        _snapshot_run(cfg, self.run_dir)
+        if self._primary:
+            _snapshot_run(cfg, self.run_dir)
 
         if auto_resume:
             # Preemption-safe resume (no reference equivalent — TPU jobs
@@ -318,9 +386,23 @@ class Trainer:
                 micro = self._stack_microbatches(it)
             except StopIteration:
                 break
-            micro = jax.device_put(micro, self._micro_sharding)
+            if self._micro_sharding is None:
+                micro = jax.device_put(micro)
+            elif self._loader_process_sharded:
+                # micro holds only this process's rows of the global batch
+                micro = multihost.local_batch_to_global(
+                    micro, self._micro_sharding
+                )
+            else:
+                micro = multihost.put_global(micro, self._micro_sharding)
+            step_rng = jax.random.fold_in(rng, i)
+            if multihost.is_multiprocess():
+                # every jit input must live on the global mesh
+                step_rng = multihost.put_global(
+                    step_rng, replicated(self.mesh)
+                )
             self.state, metrics = self._train_step(
-                self.state, micro, jax.random.fold_in(rng, i)
+                self.state, micro, step_rng
             )
             self.training_steps += 1
             if (
@@ -372,10 +454,17 @@ class Trainer:
             if (
                 self._batch_sharding is not None
                 and bsz % data_size == 0
+                and not multihost.is_multiprocess()
             ):
                 # shard eval batches over the data axis; ragged final
-                # batches fall back to single-device
+                # batches fall back to single-device. Multi-host runs
+                # keep eval batches replicated: per-frame metric outputs
+                # would otherwise come back sharded across processes and
+                # be unreadable from the host aggregation below.
                 dev = jax.device_put(dev, self._batch_sharding)
+            elif self.mesh is not None and multihost.is_multiprocess():
+                # params live on the global mesh, so batches must too
+                dev = multihost.put_global(dev, replicated(self.mesh))
             metrics = self._eval_step(self.state.params, dev)
             for k, v in metrics.items():
                 # a single non-finite per-frame metric (e.g. a diverged
@@ -417,10 +506,22 @@ class Trainer:
                 best_eval = val["loss"]
                 patience = 0
                 if cfg.train.save_model:
-                    path = ckpt_util.save_checkpoint(
-                        self.run_dir, self.state, epoch, best_eval
+                    # multi-process: gather any cross-host fsdp shards
+                    # first, and note orbax's Checkpointer.save is itself
+                    # a COLLECTIVE (it runs sync_global_devices
+                    # internally), so EVERY process must call it — orbax
+                    # does its own primary-writes coordination. Gating
+                    # the call on process 0 deadlocks the barrier.
+                    state_for_save = (
+                        multihost.replicated_host_tree(self.state)
+                        if multihost.is_multiprocess()
+                        else self.state
                     )
-                    print(f"#### saved best checkpoint to {path}")
+                    path = ckpt_util.save_checkpoint(
+                        self.run_dir, state_for_save, epoch, best_eval
+                    )
+                    if self._primary:
+                        print(f"#### saved best checkpoint to {path}")
             else:
                 patience += 1
             if patience >= cfg.train.early_stopping_thresh:

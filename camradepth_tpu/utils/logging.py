@@ -69,6 +69,22 @@ class MetricWriter:
             pass
 
 
+class NullWriter:
+    """Metric sink for non-primary processes in multi-host runs: only
+    process 0 owns the run dir's events/JSONL files (single-writer)."""
+
+    log_dir = None
+
+    def scalar(self, tag, value, step) -> None:
+        pass
+
+    def scalars(self, values, step, prefix: str = "") -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def create_run_dir(output_dir: str | Path, arch_name: str,
                    run_name: Optional[str]) -> Path:
     """Auto-indexed run directory Output/<arch>/<run>/<n> (runner.py:98-113)."""

@@ -94,3 +94,50 @@ def test_flagship_floor_is_plausible():
     # floors are at least the pure-compute bound at peak
     assert r.t_matmul_floor >= total_flops / rl.V5E_PEAK_FLOPS
     assert "attainable" in r.report()
+
+class TestScalingProjection:
+    """utils/scaling.py — analytic data-parallel scaling model."""
+
+    def test_weak_scaling_compute_constant_comm_saturates(self):
+        from camradepth_tpu.utils import scaling
+
+        pts = scaling.project_dp_scaling(
+            9_000_000, 0.373, n_chips=[1, 2, 8, 64], mode="weak"
+        )
+        assert pts[0].t_comm_s == 0.0 and pts[0].efficiency == 1.0
+        assert all(p.t_compute_s == 0.373 for p in pts)
+        # (N-1)/N all-reduce term grows monotonically, saturating at
+        # 2 * bytes / bw
+        comm = [p.t_comm_s for p in pts]
+        assert comm == sorted(comm)
+        cap = 2 * 9_000_000 * 4 / scaling.V5E_ICI_AXIS_BW
+        assert comm[-1] < cap <= comm[-1] * 64 / 63 + 1e-12
+        # this model's gradients are tiny vs a 373 ms step: overlapped
+        # efficiency should stay ~100%
+        assert pts[-1].efficiency > 0.99
+        assert pts[-1].t_overlap_s <= pts[-1].t_serial_s
+
+    def test_strong_scaling_divides_compute(self):
+        from camradepth_tpu.utils import scaling
+
+        pts = scaling.project_dp_scaling(
+            9_000_000, 0.8, n_chips=[1, 4], mode="strong"
+        )
+        assert pts[1].t_compute_s == 0.2
+
+    def test_format_is_labeled_projection(self):
+        from camradepth_tpu.utils import scaling
+
+        pts = scaling.project_dp_scaling(9e6, 0.373, n_chips=[1, 8])
+        txt = scaling.format_projection(pts, "weak", 9e6,
+                                        frames_per_step=6)
+        assert "PROJECTION" in txt
+        assert "measured only at N=1" in txt
+
+    def test_rejects_bad_mode(self):
+        import pytest
+
+        from camradepth_tpu.utils import scaling
+
+        with pytest.raises(ValueError):
+            scaling.project_dp_scaling(1e6, 0.1, mode="magic")
