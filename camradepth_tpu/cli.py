@@ -138,6 +138,8 @@ def _build_config_inner(args, C):
         train_kw["pad_microbatch_to"] = args.pad_microbatch
     if args.save_model:
         train_kw["save_model"] = True
+    if getattr(args, "async_checkpoint", False):
+        train_kw["async_checkpoint"] = True
     if args.checkpoint:
         train_kw["load_ckpt"] = True
     if args.num_epochs is not None:
@@ -962,6 +964,10 @@ def main(argv=None) -> int:
                    help="explicit run directory (required for "
                         "multi-process runs; default: auto-indexed "
                         "Output/<arch>/<run>/<n>)")
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="write best-val checkpoints on a background "
+                        "thread (Orbax async) instead of blocking the "
+                        "epoch loop")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host pod: jax.distributed."
                         "initialize with TPU auto-detection (one process "

@@ -203,6 +203,9 @@ class TrainConfig:
     checkpoint: str | None = None
     load_ckpt: bool = False
     save_model: bool = False
+    # write best-val checkpoints on a background thread (Orbax async):
+    # the epoch loop keeps training while bytes hit disk
+    async_checkpoint: bool = False
     output_dir: str = "Output"
     arch_name: str = "Transformer"
     run_name: str = "current"

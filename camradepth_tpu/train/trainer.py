@@ -321,6 +321,9 @@ class Trainer:
         self._primary = multihost.is_primary()
         self.writer = MetricWriter(self.run_dir) if self._primary \
             else NullWriter()
+        self._async_saver = (
+            ckpt_util.AsyncSaver() if cfg.train.async_checkpoint else None
+        )
         self.training_steps = 0
         self.val_steps = 0
         self.start_epoch = 0
@@ -517,9 +520,18 @@ class Trainer:
                         if multihost.is_multiprocess()
                         else self.state
                     )
-                    path = ckpt_util.save_checkpoint(
-                        self.run_dir, state_for_save, epoch, best_eval
-                    )
+                    if cfg.train.async_checkpoint:
+                        if self._async_saver is None:  # fresh train()
+                            self._async_saver = ckpt_util.AsyncSaver()
+                        # host snapshot now, serialization in the
+                        # background — the next epoch starts immediately
+                        path = self._async_saver.save(
+                            self.run_dir, state_for_save, epoch, best_eval
+                        )
+                    else:
+                        path = ckpt_util.save_checkpoint(
+                            self.run_dir, state_for_save, epoch, best_eval
+                        )
                     if self._primary:
                         print(f"#### saved best checkpoint to {path}")
             else:
@@ -531,5 +543,11 @@ class Trainer:
                 # reference skips the final low-LR epochs (runner.py:382-384)
                 print("#### stop_after reached")
                 break
+        if self._async_saver is not None:
+            # drain the in-flight write so the best checkpoint is
+            # finalized (and discoverable) when train() returns
+            self._async_saver.wait()
+            self._async_saver.close()
+            self._async_saver = None
         self.writer.close()
         return best_eval

@@ -18,16 +18,51 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _ckpt_path(run_dir: str | Path, epoch: int, eval_loss: float) -> Path:
+    return Path(run_dir).resolve() / (
+        f"ckpt_epoch_{epoch + 1}_loss_{eval_loss:.7f}"
+    )
+
+
 def save_checkpoint(run_dir: str | Path, state, epoch: int,
                     eval_loss: float) -> Path:
     """Write ckpt_epoch_<e>_loss_<l> under run_dir (async-safe, atomic)."""
-    path = Path(run_dir).resolve() / (
-        f"ckpt_epoch_{epoch + 1}_loss_{eval_loss:.7f}"
-    )
+    path = _ckpt_path(run_dir, epoch, eval_loss)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state))
     ckptr.wait_until_finished()
     return path
+
+
+class AsyncSaver:
+    """Non-blocking checkpoint writes (no reference equivalent — the
+    reference's torch.save blocks the epoch loop, runner.py:366-373).
+
+    ``save`` snapshots the state to host synchronously (so the train
+    loop's donated device buffers can be reused immediately) and hands
+    serialization to Orbax's background thread; the train loop continues
+    while bytes hit disk. Directories appear atomically on finalize, so
+    ``latest_checkpoint``/``best_checkpoint`` never see partial writes.
+    A second save while one is in flight waits for the first (Orbax
+    semantics). Call ``wait``/``close`` before reading the newest
+    checkpoint back or exiting."""
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, run_dir: str | Path, state, epoch: int,
+             eval_loss: float) -> Path:
+        path = _ckpt_path(run_dir, epoch, eval_loss)
+        self._ckptr.save(
+            path, args=ocp.args.StandardSave(jax.device_get(state))
+        )
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
 
 
 def latest_checkpoint(run_dir: str | Path) -> Optional[Path]:

@@ -49,6 +49,13 @@ class TestCLIConfig:
         cli._add_common_model_flags(p)
         return parser.parse_args(["train"] + argv)
 
+    def test_async_checkpoint_flag(self):
+        args = self._args(["--preset", "base"])
+        args.async_checkpoint = True
+        assert _build_config(args).train.async_checkpoint
+        args.async_checkpoint = False
+        assert not _build_config(args).train.async_checkpoint
+
     def test_preset_and_overrides(self):
         args = self._args([
             "--preset", "sup_unsup_seg", "--batch-size", "4",

@@ -208,3 +208,41 @@ class TestTrainer:
         t = Trainer(cfg, run_dir=str(tmp_path / "g2"))
         with pytest.raises(ValueError, match="val split"):
             t.evaluate()
+
+
+class TestAsyncCheckpoint:
+    def test_async_saver_roundtrip(self, tmp_path):
+        """AsyncSaver: non-blocking save finalizes atomically and
+        restores bit-identically; discovery helpers see it only after
+        the drain."""
+        state = {
+            "w": np.arange(12, dtype=np.float32).reshape(3, 4),
+            # 0-d ndarray, not np.int32: orbax's StandardCheckpointHandler
+            # rejects bare numpy scalar types
+            "step": np.asarray(7, np.int32),
+        }
+        saver = ckpt_util.AsyncSaver()
+        path = saver.save(tmp_path, state, epoch=2, eval_loss=0.125)
+        saver.wait()
+        saver.close()
+        assert path.name == "ckpt_epoch_3_loss_0.1250000"
+        assert ckpt_util.latest_checkpoint(tmp_path) == path
+        restored = ckpt_util.restore_checkpoint(path, state)
+        np.testing.assert_array_equal(restored["w"], state["w"])
+        assert int(restored["step"]) == 7
+
+    def test_trainer_async_checkpoint_cycle(self, synth, tmp_path):
+        """--async-checkpoint: the epoch loop saves in the background;
+        after train() returns the best checkpoint is finalized and
+        restores into a fresh trainer exactly like the sync path."""
+        cfg = _cfg(synth, tmp_path, async_checkpoint=True)
+        tr = Trainer(cfg)
+        best = tr.train()
+        assert np.isfinite(best)
+        assert tr._async_saver is None  # drained and closed
+        ck = ckpt_util.best_checkpoint(tr.run_dir)
+        assert ck is not None
+        restored = ckpt_util.restore_checkpoint(ck, tr.state)
+        a = jax.tree.leaves(tr.state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
