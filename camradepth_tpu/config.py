@@ -206,6 +206,11 @@ class TrainConfig:
     # write best-val checkpoints on a background thread (Orbax async):
     # the epoch loop keeps training while bytes hit disk
     async_checkpoint: bool = False
+    # catch SIGTERM during train() and save a full-TrainState checkpoint
+    # at the next optimizer-step boundary before exiting (TPU pods are
+    # preemptible; pairs with auto-resume, which fast-forwards the
+    # interrupted epoch past already-consumed steps)
+    graceful_preemption: bool = True
     output_dir: str = "Output"
     arch_name: str = "Transformer"
     run_name: str = "current"

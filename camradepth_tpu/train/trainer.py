@@ -18,6 +18,8 @@ TPU-native counterpart of the reference Trainer (runner.py:87-392):
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -56,6 +58,35 @@ from camradepth_tpu.utils.logging import (
 )
 
 _BATCH_KEYS = ("features", "gt_depth", "seg", "seg_inter")
+
+
+class _PreemptionMonitor:
+    """SIGTERM -> flag; the Trainer polls it at optimizer-step boundaries.
+
+    TPU pods are preemptible with a grace period (the resource manager
+    SIGTERMs every worker process); converting the signal into a
+    boundary-checked flag lets the step in flight finish and the full
+    TrainState reach disk before exit, instead of dying mid-epoch and
+    losing everything since the last best-val checkpoint. Installable
+    only from the main thread (CPython signal rule); ``restore`` puts
+    the previous handlers back."""
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self._flag = False
+        self._prev = {}
+        for s in signals:
+            self._prev[s] = signal.signal(s, self._handle)
+
+    def _handle(self, signum, frame):
+        self._flag = True
+
+    def triggered(self) -> bool:
+        return self._flag
+
+    def restore(self) -> None:
+        for s, h in self._prev.items():
+            signal.signal(s, h)
+        self._prev = {}
 
 
 def _auto_mesh(cfg: ExperimentConfig) -> Optional[object]:
@@ -327,6 +358,8 @@ class Trainer:
         self.training_steps = 0
         self.val_steps = 0
         self.start_epoch = 0
+        self._preempt_monitor: Optional[_PreemptionMonitor] = None
+        self._preempted = False
         if self._primary:
             _snapshot_run(cfg, self.run_dir)
 
@@ -340,7 +373,11 @@ class Trainer:
                 self.state = ckpt_util.restore_checkpoint(latest, self.state)
                 import re as _re
 
-                m = _re.match(r"ckpt_epoch_(\d+)_", latest.name)
+                # both name forms encode epochs COMPLETED: regular saves
+                # resume at the next epoch, graceful-preemption saves
+                # restart the interrupted one (train() fast-forwards the
+                # loader past its already-consumed steps)
+                m = _re.match(r"ckpt_(?:preempt_)?epoch_(\d+)_", latest.name)
                 self.start_epoch = int(m.group(1)) if m else 0
                 self.training_steps = int(self.state.step)
                 print(f"#### auto-resumed from {latest.name} "
@@ -377,14 +414,41 @@ class Trainer:
             mbs.append({k: b[k] for k in _BATCH_KEYS if k in b})
         return {k: np.stack([m[k] for m in mbs]) for k in mbs[0]}
 
-    def train_one_epoch(self, epoch: int) -> None:
+    def _preemption_requested(self) -> bool:
+        """Poll the SIGTERM flag; in multi-process runs the decision is
+        all-reduced so every process stops at the SAME step boundary (a
+        unilateral exit would strand the others in a collective)."""
+        trig = (
+            self._preempt_monitor is not None
+            and self._preempt_monitor.triggered()
+        )
+        if multihost.is_multiprocess():
+            from jax.experimental import multihost_utils
+
+            return bool(
+                np.max(multihost_utils.process_allgather(
+                    np.int32(1 if trig else 0)
+                )) > 0
+            )
+        return trig
+
+    def train_one_epoch(self, epoch: int, skip_opt_steps: int = 0) -> None:
         cfg = self.cfg
         it = iter(self.loaders["train"])
         accum = cfg.train.update_interval
         n_opt_steps = max(1, len(self.loaders["train"]) // accum)
         rng = jax.random.PRNGKey(cfg.train.seed * 1000 + epoch)
+        # resume of a preempted epoch: skim past the optimizer steps the
+        # interrupted run already consumed (host-side loader iteration
+        # only), so the epoch's remaining batches — and its per-step rng
+        # fold — match an uninterrupted run exactly
+        for _ in range(min(skip_opt_steps, n_opt_steps) * accum):
+            try:
+                next(it)
+            except StopIteration:
+                break
         t0 = time.perf_counter()
-        for i in range(n_opt_steps):
+        for i in range(min(skip_opt_steps, n_opt_steps), n_opt_steps):
             try:
                 micro = self._stack_microbatches(it)
             except StopIteration:
@@ -421,13 +485,20 @@ class Trainer:
                         f"{self.training_steps} — check input scaling"
                     )
                 m["lr"] = float(self.schedule(self.training_steps))
-                m["steps_per_sec"] = (i + 1) / (time.perf_counter() - t0)
+                m["steps_per_sec"] = (i + 1 - skip_opt_steps) / (
+                    time.perf_counter() - t0
+                )
                 self.writer.scalars(m, self.training_steps, prefix="train/")
                 print(
                     f"[epoch {epoch + 1}/{self.num_epochs} step {i + 1}/"
                     f"{n_opt_steps}] loss {m['loss']:.5f} rmse "
                     f"{m['rmse_m']:.3f}m lr {m['lr']:.2e}"
                 )
+            if self._preemption_requested():
+                # step boundary: the state is consistent — leave the epoch
+                # loop so train() can checkpoint and exit cleanly
+                self._preempted = True
+                break
 
     def evaluate(self) -> Dict[str, float]:
         if self.loaders.get("val") is None:
@@ -498,8 +569,57 @@ class Trainer:
         best_eval = float("inf")
         patience = 0
         stop_after = cfg.train.stop_after or max(1, self.num_epochs - 4)
+        self._preempted = False
+        if (
+            cfg.train.graceful_preemption
+            and self._preempt_monitor is None
+            and threading.current_thread() is threading.main_thread()
+        ):
+            # signal handlers are a main-thread-only CPython facility;
+            # background-thread trainers (tests, notebooks) simply run
+            # without graceful shutdown
+            self._preempt_monitor = _PreemptionMonitor()
+        try:
+            return self._train_loop(best_eval, patience, stop_after)
+        finally:
+            if self._preempt_monitor is not None:
+                self._preempt_monitor.restore()
+                self._preempt_monitor = None
+
+    def _train_loop(self, best_eval, patience, stop_after) -> float:
+        cfg = self.cfg
+        steps_per_epoch = max(
+            1, len(self.loaders["train"]) // cfg.train.update_interval
+        )
         for epoch in range(self.start_epoch, self.num_epochs):
-            self.train_one_epoch(epoch)
+            # resuming a preempted epoch: its checkpoint restored the
+            # optimizer step count; anything past this epoch's first step
+            # was already trained — skim the loader to the boundary
+            skip = (
+                max(0, self.training_steps - epoch * steps_per_epoch)
+                if epoch == self.start_epoch
+                else 0
+            )
+            self.train_one_epoch(epoch, skip_opt_steps=skip)
+            if self._preempted:
+                state_for_save = (
+                    multihost.replicated_host_tree(self.state)
+                    if multihost.is_multiprocess()
+                    else self.state
+                )
+                # synchronous write — the grace period is short and the
+                # process exits right after (orbax save is collective:
+                # every process calls it, orbax coordinates the writers)
+                path = ckpt_util.save_preemption_checkpoint(
+                    self.run_dir, state_for_save, epoch
+                )
+                if self._primary:
+                    print(
+                        "#### SIGTERM: saved preemption checkpoint to "
+                        f"{path} (step {self.training_steps}) — rerun with "
+                        "auto-resume to continue"
+                    )
+                break
             val = self.evaluate()
             print(
                 f"#### epoch {epoch + 1}: val loss {val['loss']:.5f} "

@@ -65,14 +65,43 @@ class AsyncSaver:
         self._ckptr.close()
 
 
+def save_preemption_checkpoint(run_dir: str | Path, state,
+                               epochs_completed: int) -> Path:
+    """Mid-epoch graceful-shutdown save (SIGTERM landed between optimizer
+    steps). The filename's epoch number is EPOCHS COMPLETED — the same
+    convention the regular ``ckpt_epoch_<n>`` names use — so auto-resume
+    restarts the interrupted epoch; the optimizer step counter inside the
+    state lets the trainer fast-forward past already-consumed batches.
+    Synchronous write (the process is about to exit)."""
+    path = Path(run_dir).resolve() / (
+        f"ckpt_preempt_epoch_{epochs_completed}_step_{int(state.step)}"
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+    return path
+
+
 def latest_checkpoint(run_dir: str | Path) -> Optional[Path]:
-    """Highest-epoch checkpoint in a run dir (preemption auto-resume)."""
+    """Newest checkpoint in a run dir (preemption auto-resume).
+
+    Regular ``ckpt_epoch_<n>_loss_<l>`` and graceful-shutdown
+    ``ckpt_preempt_epoch_<n>_step_<s>`` names both encode n = epochs
+    completed; a preempt save additionally holds a partial epoch, so on
+    an equal epoch count the preempt checkpoint is the newer state."""
     run_dir = Path(run_dir)
-    best, best_epoch = None, -1
-    for p in run_dir.glob("ckpt_epoch_*_loss_*"):
+    best, best_key = None, (-1, -1)
+    for p in run_dir.glob("ckpt_*epoch_*"):
         m = re.match(r"ckpt_epoch_(\d+)_loss_([\d.]+)", p.name)
-        if m and int(m.group(1)) > best_epoch:
-            best, best_epoch = p, int(m.group(1))
+        if m:
+            key = (int(m.group(1)), 0)
+        else:
+            m = re.match(r"ckpt_preempt_epoch_(\d+)_step_(\d+)", p.name)
+            if not m:
+                continue
+            key = (int(m.group(1)), 1)
+        if key > best_key:
+            best, best_key = p, key
     return best
 
 
