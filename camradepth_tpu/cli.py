@@ -194,14 +194,19 @@ def _load_params(cfg, checkpoint: str, strict: bool = False):
         from pathlib import Path as _P
 
         p = _P(checkpoint)
-        if p.is_dir() and not p.name.startswith("ckpt_epoch_"):
+        if p.is_dir() and not p.name.startswith(
+            ("ckpt_epoch_", "ckpt_preempt_epoch_")
+        ):
             # a RUN dir: pick the best (lowest-val-loss) checkpoint,
             # matching the reference's best-ckpt selection
-            # (runner.py:366-373 keeps the improving epochs)
-            best = ck.best_checkpoint(p)
+            # (runner.py:366-373 keeps the improving epochs). A run that
+            # was preempted before its first best-val save still has a
+            # loadable TrainState — fall back to the newest preempt save.
+            best = ck.best_checkpoint(p) or ck.latest_checkpoint(p)
             if best is None:
                 raise UserError(
-                    f"{checkpoint} holds no ckpt_epoch_* checkpoints"
+                    f"{checkpoint} holds no ckpt_epoch_* / "
+                    "ckpt_preempt_epoch_* checkpoints"
                 )
             print(f"using best checkpoint {best.name}")
             checkpoint = str(best)
@@ -478,11 +483,7 @@ def cmd_search(args) -> int:
         }
     if getattr(args, "vmap_trials", False):
         from camradepth_tpu.data.pipeline import make_loaders
-        from camradepth_tpu.train.search import (
-            batches_from_loader,
-            vmapped_trials,
-        )
-        from camradepth_tpu.train.trainer import _BATCH_KEYS
+        from camradepth_tpu.train.search import vmapped_trials
 
         mesh = None
         if getattr(args, "data_parallel", None):
@@ -498,33 +499,31 @@ def cmd_search(args) -> int:
                 )
             except ValueError as e:  # dp > available devices
                 raise UserError(str(e)) from e
+        # batches/val-batch extraction lives in ONE place —
+        # search._resolve_batches — shared with the library callers (a
+        # CLI-side copy of this logic already diverged once; see the
+        # round-3 self-review's vmapped_trials loaders fix)
         loaders = make_loaders(cfg.data, cfg.train.batch_size)
-        batches = batches_from_loader(
-            loaders["train"], cfg.train.update_interval
-        )
-        if not batches:
-            print("error: train split too small for one optimizer step",
-                  file=sys.stderr)
-            return 2
-        val_batch = None
-        if loaders.get("val") is not None:
-            vb = next(iter(loaders["val"]))
-            val_batch = {k: vb[k] for k in _BATCH_KEYS if k in vb}
-        if args.halving:
-            from camradepth_tpu.train.search import vmapped_halving
+        try:
+            if args.halving:
+                from camradepth_tpu.train.search import vmapped_halving
 
-            best, best_loss, results = vmapped_halving(
-                cfg, spaces, num_trials=args.num_trials,
-                min_steps=args.min_steps, max_steps=args.trial_steps,
-                seed=args.seed, batches=batches, val_batch=val_batch,
-                mesh=mesh,
-            )
-        else:
-            best, best_loss, results = vmapped_trials(
-                cfg, spaces, num_trials=args.num_trials,
-                num_steps=args.trial_steps, seed=args.seed,
-                batches=batches, val_batch=val_batch, mesh=mesh,
-            )
+                best, best_loss, results = vmapped_halving(
+                    cfg, spaces, num_trials=args.num_trials,
+                    min_steps=args.min_steps, max_steps=args.trial_steps,
+                    seed=args.seed, loaders=loaders, mesh=mesh,
+                )
+            else:
+                best, best_loss, results = vmapped_trials(
+                    cfg, spaces, num_trials=args.num_trials,
+                    num_steps=args.trial_steps, seed=args.seed,
+                    loaders=loaders, mesh=mesh,
+                )
+        except ValueError as e:
+            if "train split too small" in str(e):
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            raise
     elif args.halving:
         best, best_loss, results = successive_halving_search(
             cfg, spaces, num_trials=args.num_trials,
@@ -606,7 +605,11 @@ def cmd_serve(args) -> int:
         serve_forever(engine, cfg, args.http_host, args.http_port,
                       batch_window_ms=args.http_batch_window_ms)
         return 0
-    loaders = make_loaders(cfg.data, batch_size=args.serve_batch)
+    # the engine may have pinned a different batch size than
+    # --serve-batch (a fixed-batch StableHLO artifact bakes its own);
+    # batching the loader to the ENGINE's size keeps the no-copy
+    # pass-through path (oversize items would be re-chunked row-wise)
+    loaders = make_loaders(cfg.data, batch_size=engine.batch_size)
     loader = loaders.get("test") or loaders.get("val")
     if loader is None:
         print("error: split has no test/val frames", file=sys.stderr)
@@ -779,23 +782,33 @@ def cmd_inspect(args) -> int:
         ckpts = []
         import re as _re
 
+        is_ckpt_dir = _re.match(r"ckpt_(?:preempt_)?epoch_", path.name)
         candidates = (
-            [path] if _re.match(r"ckpt_epoch_", path.name)
+            [path] if is_ckpt_dir
             else sorted(path.glob("ckpt_epoch_*_loss_*"))
+            + sorted(path.glob("ckpt_preempt_epoch_*_step_*"))
         )
         for p in candidates:
             m = _re.match(r"ckpt_epoch_(\d+)_loss_([\d.]+)", p.name)
-            if not m:
+            pm = (None if m else
+                  _re.match(r"ckpt_preempt_epoch_(\d+)_step_(\d+)", p.name))
+            if not m and not pm:
                 continue
             size = sum(f.stat().st_size for f in p.rglob("*")
                        if f.is_file())
-            ckpts.append({
-                "name": p.name, "epoch": int(m.group(1)),
-                "eval_loss": float(m.group(2).rstrip(".")),
-                "bytes": size,
-            })
+            entry = {"name": p.name, "bytes": size}
+            if m:
+                entry.update(epoch=int(m.group(1)),
+                             eval_loss=float(m.group(2).rstrip(".")))
+            else:
+                # graceful-shutdown save: epoch = epochs COMPLETED, no
+                # val loss (it holds a partial epoch)
+                entry.update(epoch=int(pm.group(1)),
+                             step=int(pm.group(2)), preempt=True)
+            ckpts.append(entry)
         if not ckpts:
-            print(f"error: {path} holds no ckpt_epoch_* checkpoints",
+            print(f"error: {path} holds no ckpt_epoch_* / "
+                  "ckpt_preempt_epoch_* checkpoints",
                   file=sys.stderr)
             return 2
         latest = latest_checkpoint(

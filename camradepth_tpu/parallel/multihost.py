@@ -29,8 +29,17 @@ This module provides exactly those pieces:
 
 ``local_batch_to_global``
     The efficient production path: each host loads only its OWN rows of
-    the global batch (``process_rows``) and the global array is
-    assembled from the per-process slices without replicated IO.
+    the global batch and the global array is assembled from the
+    per-process slices without replicated IO. The Trainer's loaders
+    partition split rows STRIDED across processes
+    (``data/pipeline.py``: ``sel[:n][pid::pc]``), so the assembled
+    global batch is a permutation of the canonical row order — harmless
+    for training (every row appears exactly once; the batch-mean loss
+    and its gradients are permutation-invariant, pinned by the
+    single-process parity test). ``process_rows`` below computes the
+    CONTIGUOUS partition that maps positionally onto the global array's
+    row order, for callers that need position-faithful assembly (the
+    multihost tests use it to verify shard placement).
 
 ``replicated_host_tree``
     Gather a (possibly cross-host-sharded) train state back to ordinary
@@ -128,9 +137,11 @@ def put_global(tree: Any, shardings: Any):
 def local_batch_to_global(local_tree: Any, shardings: Any):
     """Assemble a globally-sharded batch from per-process LOCAL rows.
 
-    Each process passes only the rows it loaded (``process_rows`` tells
-    a loader which ones); JAX stitches the global array from the
-    process-local pieces. The global batch dimension is
+    Each process passes only the rows it loaded; JAX stitches the
+    global array from the process-local pieces (process p's rows land
+    at p's device positions — see the module docstring for why the
+    Trainer's strided loader partition makes the result a
+    training-equivalent permutation). The global batch dimension is
     ``local_rows * process_count``. Single-process: plain device_put.
     """
     import jax

@@ -187,12 +187,10 @@ class DepthEngine:
                 for f in frames:
                     f = np.asarray(f)
                     if f.ndim == 4:  # pre-batched
-                        if f.shape[0] > self.batch_size:
-                            raise ValueError(
-                                f"pre-batched item of {f.shape[0]} "
-                                f"frames exceeds the engine batch "
-                                f"size {self.batch_size}"
-                            )
+                        # oversize items (a loader batched larger than
+                        # the engine, e.g. a fixed-batch artifact whose
+                        # baked size is smaller than --serve-batch) fall
+                        # through to the re-chunk path below
                         if not buf and f.shape[0] in (self.batch_size, 0):
                             if f.shape[0]:
                                 q_in.put(f)  # fast path: no copies

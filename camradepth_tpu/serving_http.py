@@ -61,6 +61,11 @@ class BatchAggregator:
         req = {"arr": arr, "event": threading.Event(), "result": None,
                "error": None}
         with self._cv:
+            if not self._running:
+                # a request racing server teardown must fail fast — once
+                # close()'s final sweep has run, nothing would ever set
+                # this event
+                raise RuntimeError("server shutting down")
             self._pending.append(req)
             self._cv.notify()
         req["event"].wait()
@@ -118,7 +123,10 @@ class BatchAggregator:
             self._running = False
             self._cv.notify_all()
         self._thread.join(timeout=5)
-        for r in self._pending:  # unblock anything still queued
+        with self._cv:  # infer() refuses new work once _running is
+            # False, so this sweep under the lock sees every request
+            leftover, self._pending = self._pending, []
+        for r in leftover:  # unblock anything still queued
             r["error"] = RuntimeError("server shutting down")
             r["event"].set()
 

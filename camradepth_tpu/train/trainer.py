@@ -418,6 +418,11 @@ class Trainer:
         """Poll the SIGTERM flag; in multi-process runs the decision is
         all-reduced so every process stops at the SAME step boundary (a
         unilateral exit would strand the others in a collective)."""
+        if not self.cfg.train.graceful_preemption:
+            # static + identical across SPMD processes, so skipping the
+            # collective cannot desync; also avoids a per-step cross-host
+            # allgather that could never return True
+            return False
         trig = (
             self._preempt_monitor is not None
             and self._preempt_monitor.triggered()

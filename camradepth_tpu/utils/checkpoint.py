@@ -77,7 +77,10 @@ def save_preemption_checkpoint(run_dir: str | Path, state,
         f"ckpt_preempt_epoch_{epochs_completed}_step_{int(state.step)}"
     )
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state))
+    # force: resume-then-repreempt can land on the SAME step (e.g. the
+    # grace period expires before any new step completes); an
+    # already-exists error here would lose the save entirely
+    ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -88,18 +91,20 @@ def latest_checkpoint(run_dir: str | Path) -> Optional[Path]:
     Regular ``ckpt_epoch_<n>_loss_<l>`` and graceful-shutdown
     ``ckpt_preempt_epoch_<n>_step_<s>`` names both encode n = epochs
     completed; a preempt save additionally holds a partial epoch, so on
-    an equal epoch count the preempt checkpoint is the newer state."""
+    an equal epoch count the preempt checkpoint is the newer state, and
+    between two preempt saves of the same epoch the higher optimizer
+    step wins."""
     run_dir = Path(run_dir)
-    best, best_key = None, (-1, -1)
+    best, best_key = None, (-1, -1, -1)
     for p in run_dir.glob("ckpt_*epoch_*"):
         m = re.match(r"ckpt_epoch_(\d+)_loss_([\d.]+)", p.name)
         if m:
-            key = (int(m.group(1)), 0)
+            key = (int(m.group(1)), 0, 0)
         else:
             m = re.match(r"ckpt_preempt_epoch_(\d+)_step_(\d+)", p.name)
             if not m:
                 continue
-            key = (int(m.group(1)), 1)
+            key = (int(m.group(1)), 1, int(m.group(2)))
         if key > best_key:
             best, best_key = p, key
     return best

@@ -98,6 +98,36 @@ def test_inspect_split_table(tmp_path):
     assert info["first_row"][0] == "00000_im.jpg"
 
 
+def test_inspect_run_dir_with_preempt_save(tmp_path):
+    """A graceful-shutdown save shows up in the listing with its step
+    (no val loss — it holds a partial epoch) and wins `latest` over a
+    regular save of the same completed-epoch count."""
+    from camradepth_tpu.utils import checkpoint as ck
+
+    state = {"params": {"w": np.ones((3, 3), np.float32)}}
+    ck.save_checkpoint(tmp_path, state, epoch=0, eval_loss=0.75)
+    pre = tmp_path / "ckpt_preempt_epoch_1_step_42"
+    pre.mkdir()
+    (pre / "blob").write_bytes(b"x" * 16)
+    rc, out, _ = _run(["inspect", str(tmp_path)])
+    assert rc == 0
+    info = json.loads(out)
+    assert info["type"] == "orbax-run-dir"
+    by_name = {c["name"]: c for c in info["checkpoints"]}
+    entry = by_name["ckpt_preempt_epoch_1_step_42"]
+    assert entry["preempt"] and entry["step"] == 42 and entry["epoch"] == 1
+    assert "eval_loss" not in entry
+    assert info["latest"].endswith("ckpt_preempt_epoch_1_step_42")
+
+    # inspecting the preempt ckpt dir DIRECTLY also works
+    rc, out, _ = _run(["inspect", str(pre)])
+    assert rc == 0
+    info = json.loads(out)
+    assert [c["name"] for c in info["checkpoints"]] == [
+        "ckpt_preempt_epoch_1_step_42"
+    ]
+
+
 def test_inspect_errors(tmp_path):
     rc, _, err = _run(["inspect", str(tmp_path / "missing.pth")])
     assert rc == 2 and "does not exist" in err

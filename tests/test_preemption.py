@@ -67,6 +67,15 @@ class TestLatestCheckpointOrdering:
             "ckpt_epoch_3_loss_0.4000000"
         )
 
+    def test_two_preempts_same_epoch_higher_step_wins(self, tmp_path):
+        """Resume-then-repreempt in the same epoch: the newer (higher
+        optimizer step) save must win regardless of glob order."""
+        (tmp_path / "ckpt_preempt_epoch_3_step_380").mkdir()
+        (tmp_path / "ckpt_preempt_epoch_3_step_350").mkdir()
+        assert ckpt_util.latest_checkpoint(tmp_path).name == (
+            "ckpt_preempt_epoch_3_step_380"
+        )
+
 
 class TestGracefulPreemption:
     def test_sigterm_saves_and_resume_completes_epoch(self, synth, tmp_path):
@@ -97,6 +106,16 @@ class TestGracefulPreemption:
         assert calls["n"] == 1
         ck = ckpt_util.latest_checkpoint(tr.run_dir)
         assert ck is not None and ck.name == "ckpt_preempt_epoch_0_step_1"
+
+        # a run preempted before its first best-val save is still
+        # loadable by every CLI consumer: --checkpoint <run-dir> falls
+        # back to the newest preempt save, and the exact ckpt dir works
+        from camradepth_tpu.cli import _load_params
+
+        _, p_run = _load_params(cfg, str(tr.run_dir))
+        _, p_dir = _load_params(cfg, str(ck))
+        for a, b in zip(jax.tree.leaves(p_run), jax.tree.leaves(p_dir)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
         # resume: restarts epoch 0, skips the consumed step, finishes
         tr2 = Trainer(cfg, run_dir=str(tr.run_dir), auto_resume=True)

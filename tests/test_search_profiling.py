@@ -194,7 +194,14 @@ class TestVmapSearchCLI:
         seen = {}
 
         def fake_vmapped(cfg, spaces, num_trials=0, num_steps=0, seed=0,
-                         batches=None, val_batch=None, mesh=None):
+                         batches=None, val_batch=None, loaders=None,
+                         mesh=None):
+            # the CLI passes loaders (the shared _resolve_batches does
+            # the stacking — the CLI-side copy was deleted); resolve
+            # here so the stacking semantics stay pinned end to end
+            batches, val_batch = search_mod._resolve_batches(
+                batches, val_batch, loaders, cfg.train.update_interval
+            )
             seen.update(cfg=cfg, num_trials=num_trials, batches=batches,
                         val_batch=val_batch, mesh=mesh)
             return ({"learning_rate": 1e-4}, 0.25,
@@ -363,7 +370,10 @@ class TestVmappedTrials:
 
         def fake_halving(cfg, spaces, num_trials=0, min_steps=0,
                          max_steps=0, eta=3, seed=0, batches=None,
-                         val_batch=None, mesh=None):
+                         val_batch=None, loaders=None, mesh=None):
+            batches, val_batch = search_mod._resolve_batches(
+                batches, val_batch, loaders, cfg.train.update_interval
+            )
             seen.update(num_trials=num_trials, min_steps=min_steps,
                         max_steps=max_steps, batches=batches)
             return ({"learning_rate": 1e-4}, 0.5,

@@ -98,15 +98,22 @@ class TestDepthEngine:
             for k in wnt:
                 np.testing.assert_array_equal(g[k], wnt[k])
 
-    def test_stream_rejects_oversized_batch(self):
-        import pytest
-
+    def test_stream_rechunks_oversized_batch(self):
+        """Items LARGER than the engine batch re-chunk row-wise instead
+        of erroring (regression: a fixed-batch StableHLO artifact whose
+        baked batch is smaller than the loader's crashed mid-stream)."""
         cfg, eng = _engine(batch_size=2)
         eng.warmup()
         h, w = cfg.model.img_size
-        item = np.zeros((3, h, w, 7), np.float32)
-        with pytest.raises(ValueError, match="exceeds"):
-            list(eng.infer_stream(iter([item])))
+        rng = np.random.default_rng(5)
+        frames = [rng.standard_normal((h, w, 7)).astype(np.float32)
+                  for _ in range(5)]
+        want = list(eng.infer_stream(iter(frames)))
+        got = list(eng.infer_stream(iter([np.stack(frames)])))
+        assert len(got) == 5
+        for g, wnt in zip(got, want):
+            for k in wnt:
+                np.testing.assert_array_equal(g[k], wnt[k])
 
 
 def test_cli_serve_skips_padded_tail_frames(tmp_path):
