@@ -296,6 +296,54 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_distill(args) -> int:
+    """Distill a parity-architecture teacher into the (typically
+    --tpu-decoder) student: dense per-pixel supervision from the
+    teacher's predictions, optionally mixed with the sparse lidar GT
+    loss. Closes the TPU variant's reference-weight-compatibility gap
+    (see train/distill.py docstring; no reference equivalent)."""
+    from camradepth_tpu.train.distill import DistillTrainer
+
+    cfg = _build_config(args)
+    teacher_model_cfg = dataclasses.replace(
+        cfg.model,
+        tpu_decoder=bool(getattr(args, "teacher_tpu_decoder", False)),
+        # remat only changes the backward; the teacher never trains
+        remat_encoder=False,
+        remat_decoder=False,
+    )
+    teacher_cfg = cfg.replace(model=teacher_model_cfg)
+    # strict by default: a partially-loaded teacher (random heads) would
+    # silently poison the dense distillation targets
+    _, teacher_params = _load_params(
+        teacher_cfg, args.teacher_checkpoint,
+        strict=not args.no_strict_teacher,
+    )
+    mesh_kw = {}
+    if getattr(args, "data_parallel", None) is not None:
+        mesh_kw["data_parallel"] = args.data_parallel
+    if getattr(args, "fsdp", None) is not None:
+        mesh_kw["fsdp_parallel"] = args.fsdp
+    if getattr(args, "spatial_parallel", None) is not None:
+        mesh_kw["spatial_parallel"] = args.spatial_parallel
+    if mesh_kw:
+        cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, **mesh_kw))
+    trainer = DistillTrainer(
+        cfg, teacher_cfg, teacher_params,
+        alpha=args.alpha,
+        temperature=args.temperature,
+        # a student --checkpoint (resume/continue) must not be clobbered
+        # by the teacher warm start
+        init_from_teacher=(
+            not args.no_teacher_init and not args.checkpoint
+        ),
+        run_dir=getattr(args, "run_dir", None),
+    )
+    best = trainer.train()
+    print(f"best val loss: {best:.6f}")
+    return 0
+
+
 def cmd_test(args) -> int:
     from camradepth_tpu.data.pipeline import make_loaders
     from camradepth_tpu.evaluation.harness import evaluate, format_report
@@ -992,6 +1040,42 @@ def main(argv=None) -> int:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "distill",
+        help="distill a parity teacher checkpoint into the --tpu-decoder "
+             "variant (dense per-pixel teacher supervision; makes the "
+             "fast variant usable from reference weights)")
+    _add_common_model_flags(p)
+    p.add_argument("--teacher-checkpoint", required=True,
+                   help="teacher weights: reference .pth, Orbax "
+                        "checkpoint, or a run dir (best ckpt "
+                        "auto-selected)")
+    p.add_argument("--teacher-tpu-decoder", action="store_true",
+                   help="the teacher itself is a TPU-decoder model "
+                        "(self-distillation / compression runs)")
+    p.add_argument("--no-strict-teacher", action="store_true",
+                   help="allow a partially-matching teacher checkpoint "
+                        "(mismatched tensors keep fresh init — normally "
+                        "refused because random teacher heads poison the "
+                        "distillation targets)")
+    p.add_argument("--alpha", type=float, default=0.7,
+                   help="objective mix: alpha*distill + (1-alpha)*GT "
+                        "multitask loss (default 0.7; 1.0 = pure "
+                        "distillation, no lidar needed for the loss)")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="softmax temperature for the seg-logit KL terms")
+    p.add_argument("--no-teacher-init", action="store_true",
+                   help="skip the shape-matching warm start from the "
+                        "teacher weights (utils.py:352-370 semantics; "
+                        "also skipped automatically when --checkpoint "
+                        "resumes a student)")
+    p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--fsdp", type=int, default=None)
+    p.add_argument("--spatial-parallel", type=int, default=None)
+    p.add_argument("--run-dir", default=None)
+    p.add_argument("--async-checkpoint", action="store_true")
+    p.set_defaults(fn=cmd_distill)
 
     p = sub.add_parser("test", help="test-split metric report")
     p.add_argument("--report-json", default=None, metavar="PATH",

@@ -316,7 +316,7 @@ class Trainer:
             )
             self._batch_sharding = batch_sharding(self.mesh, mc)
             self._train_step = jax.jit(
-                make_train_step(cfg, self.model, self.tx),
+                self._build_train_step(),
                 in_shardings=(self._state_shardings, self._micro_sharding,
                               None),
                 out_shardings=(self._state_shardings, None),
@@ -327,7 +327,7 @@ class Trainer:
             self._micro_sharding = None
             self._batch_sharding = None
             self._train_step = jax.jit(
-                make_train_step(cfg, self.model, self.tx),
+                self._build_train_step(),
                 donate_argnums=(0,),
             )
             self._eval_step = jax.jit(make_eval_step(cfg, self.model))
@@ -383,6 +383,13 @@ class Trainer:
                 print(f"#### auto-resumed from {latest.name} "
                       f"(epoch {self.start_epoch}, "
                       f"step {self.training_steps})")
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        """The un-jitted (state, microbatches, rng) step. Subclasses
+        override this to swap the objective (e.g. DistillTrainer) while
+        reusing the full epoch/mesh/checkpoint machinery."""
+        return make_train_step(self.cfg, self.model, self.tx)
 
     # ------------------------------------------------------------------
     def load_checkpoint(self, path: str) -> None:

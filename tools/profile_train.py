@@ -28,6 +28,11 @@ from camradepth_tpu.train.diffgrad import diffgrad_norm
 from camradepth_tpu.train.schedule import onecycle
 from camradepth_tpu.train.step import init_state, make_train_step
 
+if jax.default_backend() != "cpu":
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/camradepth_jax_cache"
+    )
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -35,6 +40,11 @@ def main():
     ap.add_argument("--tpu-decoder", action="store_true",
                     help="profile the TPU architecture variant "
                          "(ModelConfig.tpu_decoder)")
+    ap.add_argument("--distill", action="store_true",
+                    help="profile the distillation step (parity teacher "
+                         "forward + student forward/backward in one "
+                         "program; train/distill.py). Usually combined "
+                         "with --tpu-decoder for the student")
     ap.add_argument("--no-remat", action="store_true",
                     help="drop remat_encoder/remat_decoder (with "
                          "--tuned; the TPU variant's small full-res "
@@ -73,7 +83,30 @@ def main():
     tx = diffgrad_norm(sched, weight_decay=cfg.train.weight_decay)
     rng = jax.random.PRNGKey(0)
     state = init_state(cfg, model, tx, rng)
-    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+    if args.distill:
+        from camradepth_tpu.train.distill import make_distill_step
+
+        t_cfg = dataclasses.replace(
+            mc, tpu_decoder=False, remat_encoder=False,
+            remat_decoder=False,
+        )
+        teacher = CamRaDepth(t_cfg)
+        t_params = jax.jit(
+            lambda k: teacher.init(
+                {"params": k},
+                jnp.zeros((1, H, W, t_cfg.input_channels), jnp.float32),
+                deterministic=True,
+            )["params"]
+        )(jax.random.PRNGKey(1))
+        step = jax.jit(
+            make_distill_step(cfg, model, teacher, t_params, tx,
+                              alpha=0.7),
+            donate_argnums=(0,),
+        )
+    else:
+        step = jax.jit(
+            make_train_step(cfg, model, tx), donate_argnums=(0,)
+        )
 
     acc = cfg.train.update_interval
     mb = cfg.train.batch_size
@@ -96,6 +129,8 @@ def main():
         label += " no-remat"
     if args.tpu_decoder:
         label += " tpu-decoder"
+    if args.distill:
+        label += " distill"
     print(f"compiling train step ({label})...", flush=True)
     t0 = time.perf_counter()
     state, m = step(state, micro, rng)
