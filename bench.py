@@ -93,6 +93,25 @@ def probe_backend(
             last = f"rc={proc.returncode}: {proc.stderr.strip()[-500:]}"
         except subprocess.TimeoutExpired:
             last = f"backend init hung > {probe_timeout_s:.0f}s (tunnel down?)"
+        # Emit a parseable PARTIAL result line to stdout after EVERY
+        # failed probe — if the driver's own timeout kills us mid-retry
+        # (r3: rc=124 with an empty tail), the last line on the pipe is
+        # still one valid JSON object describing the failure. A later
+        # success prints the real result line after this one; consumers
+        # take the LAST parseable line.
+        print(
+            json.dumps(
+                {
+                    "metric": "nuScenes 416x800 camera+radar inference "
+                    "throughput",
+                    "value": None,
+                    "unit": "frames/sec/chip",
+                    "error": f"backend probe {i + 1}/{attempts} failed: "
+                    f"{last}",
+                }
+            ),
+            flush=True,
+        )
         if i + 1 < attempts:
             print(
                 f"# backend probe {i + 1}/{attempts} failed ({last}); "
@@ -277,6 +296,29 @@ def tpu_variant_fields() -> dict:
 
 
 def main() -> None:
+    import sys
+
+    # Any failure past this point (e.g. the tunnel dying mid-bench)
+    # must still leave ONE parseable JSON line on stdout.
+    try:
+        _main_measured()
+    except BaseException as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "nuScenes 416x800 camera+radar inference "
+                    "throughput",
+                    "value": None,
+                    "unit": "frames/sec/chip",
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            ),
+            flush=True,
+        )
+        raise
+
+
+def _main_measured() -> None:
     import sys
 
     platform = probe_backend()

@@ -252,12 +252,34 @@ class DistillTrainer(Trainer):
                 f"({teacher_cfg.model.input_channels} vs "
                 f"{cfg.model.input_channels})"
             )
+        # A seg-head mismatch would silently ZERO the seg KL terms in
+        # distill_terms instead of erroring — refuse it up front.
+        for f in ("supervised_seg", "unsupervised_seg", "num_classes"):
+            tv, sv = getattr(teacher_cfg.model, f), getattr(cfg.model, f)
+            if tv != sv:
+                raise ValueError(
+                    f"teacher and student must share model.{f} "
+                    f"({tv} vs {sv}) — a mismatch drops the seg "
+                    "distillation terms silently"
+                )
         self._teacher_model = CamRaDepth(teacher_cfg.model)
         self._teacher_params_host = teacher_params
         self._alpha = float(alpha)
         self._temperature = float(temperature)
         super().__init__(cfg, **kwargs)
-        if init_from_teacher:
+        # The warm start must never clobber a RESTORED state: after a
+        # programmatic resume (auto_resume found a checkpoint, or
+        # cfg.train.load_ckpt) the params belong with the restored
+        # optimizer moments — overwriting them with teacher weights
+        # would corrupt the resume. training_steps > 0 marks an
+        # auto-resume; load_ckpt marks an explicit restore.
+        restored = self.training_steps > 0 or bool(
+            cfg.train.checkpoint and cfg.train.load_ckpt
+        )
+        if init_from_teacher and restored:
+            print("#### teacher warm start SKIPPED: a checkpoint was "
+                  "restored (resume takes precedence)")
+        if init_from_teacher and not restored:
             # reference-semantics warm start (utils.py:352-370): encoder
             # + low-res decoder transfer, subpixel stages keep their init
             params, mismatches = ckpt_util.partial_restore_params(
