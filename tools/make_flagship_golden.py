@@ -36,10 +36,11 @@ from camradepth_tpu.interop.reference_loader import (  # noqa: E402
 )
 
 HW = (128, 256)
+HW_FULL = (416, 800)  # the SHIPPING geometry (CamRaDepth.py:27)
 
 
-def _run_variant(torch, **model_kw) -> tuple:
-    model = load_reference_model(img_size=HW, **model_kw)
+def _run_variant(torch, hw=HW, **model_kw) -> tuple:
+    model = load_reference_model(img_size=hw, **model_kw)
     sd = model.state_dict()
     shapes = {k: tuple(v.shape) for k, v in sd.items()}
     values = synth_state_values(shapes)
@@ -47,7 +48,7 @@ def _run_variant(torch, **model_kw) -> tuple:
         {k: torch.from_numpy(v) for k, v in values.items()}, strict=True
     )
     model.eval()
-    x = golden_input(HW)  # NHWC
+    x = golden_input(hw)  # NHWC
     with torch.no_grad():
         out = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     return shapes, out
@@ -59,9 +60,10 @@ def _nhwc(t):
 
 def _write(path, shapes, gold) -> None:
     for k, v in gold.items():
-        print(f"{k}: shape {v.shape} range [{v.min():.6f}, "
-              f"{v.max():.6f}] std {v.std():.6f}")
-        assert np.isfinite(v.astype(np.float64)).all(), k
+        v64 = v.astype(np.float64)  # fp16 self-accumulation overflows
+        print(f"{k}: shape {v.shape} range [{v64.min():.6f}, "
+              f"{v64.max():.6f}] std {v64.std():.6f}")
+        assert np.isfinite(v64).all(), k
     np.savez_compressed(
         path,
         shapes_json=np.frombuffer(
@@ -115,6 +117,29 @@ def main() -> int:
         "unsup_map": unsup_map,
     }
     _write(out_dir / "flagship_seg_128x256.npz", shapes, gold)
+
+    # base variant at the SHIPPING 416x800 geometry (VERDICT r3 item 3:
+    # resolution-dependent paths — bicubic x2 boundaries, patch-embed
+    # padding — were only pinned at 128x256). The full-res maps go to
+    # fp16 to keep the artifact under ~1 MB; fp16 quantization of the
+    # GOLDEN adds <= 2^-11 relative error, far under the 2e-3 parity
+    # tolerance, and a center crop stays fp32 for an exact-precision
+    # anchor. inter2 (= intermediate_depths[2], H/4) is produced
+    # entirely by stages the --tpu-decoder variant SHARES, so it also
+    # pins the warm-start transfer path at full resolution.
+    shapes, out = _run_variant(torch, hw=HW_FULL)
+    inter = out["depth"]["intermediate_depths"]
+    final = _nhwc(out["depth"]["final_depth"])
+    cy, cx = HW_FULL[0] // 2 - 32, HW_FULL[1] // 2 - 64
+    gold = {
+        "final_depth_f16": final.astype(np.float16),
+        "final_depth_crop": final[:, cy: cy + 64, cx: cx + 128],
+        "crop_yx": np.asarray([cy, cx], np.int32),
+        "inter2": _nhwc(inter[2]),
+        "inter3_f16": _nhwc(inter[3]).astype(np.float16),
+    }
+    assert final.std() > 1e-4
+    _write(out_dir / "flagship_416x800.npz", shapes, gold)
     return 0
 
 
