@@ -225,11 +225,42 @@ def make_flow_estimator(kind: str, ckpt: str = "", **kw):
     raise ValueError(f"unknown flow estimator {kind!r}")
 
 
+def jax_panoptic_estimator(
+    ckpt: Union[str, Path],
+) -> Callable[[np.ndarray], np.ndarray]:
+    """TPU-native Panoptic-DeepLab: load the official
+    panoptic_deeplab_R101_os32_cityscapes.pth into the clean-room JAX
+    implementation (camradepth_tpu.models.panoptic_deeplab) and wrap it
+    in the pipeline's ``seg_estimator(im) -> [H,W] int64`` contract.
+    Returns cityscapes trainIds — pair with remap='cityscapes' (21-class
+    training labels) or 'vehicle_cityscapes' (the reference's
+    semantic_seg.py vehicle-mask path). Runs jitted on the default JAX
+    backend — the TPU when available."""
+    torch = _require_torch()
+    from camradepth_tpu.models.panoptic_deeplab import (
+        classmap_fn,
+        load_torch_panoptic_deeplab,
+    )
+
+    state = torch.load(str(ckpt), map_location="cpu")
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return classmap_fn(load_torch_panoptic_deeplab(state))
+
+
 def make_seg_estimator(kind: str, ckpt: str = "", **kw):
-    """Factory used by the CLI: 'torchscript' (Panoptic-DeepLab-style
+    """Factory used by the CLI: 'jax-panoptic' (official .pth into the
+    native JAX Panoptic-DeepLab), 'torchscript' (Panoptic-DeepLab-style
     export) or 'none'."""
     if kind in ("none", ""):
         return None
+    if kind == "jax-panoptic":
+        if not ckpt:
+            raise ValueError(
+                f"--seg {kind} requires --seg-ckpt <official "
+                "panoptic_deeplab_R101_os32_cityscapes.pth>"
+            )
+        return jax_panoptic_estimator(ckpt, **kw)
     if kind in ("torchscript", "panoptic-deeplab"):
         if not ckpt:
             raise ValueError(

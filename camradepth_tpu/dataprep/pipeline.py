@@ -39,6 +39,7 @@ def run_pipeline(
     mini: bool = False,
     flow_estimator: Optional[Callable] = None,
     seg_estimator: Optional[Callable] = None,
+    seg_remap: str = "merged",
     sample_indices: Optional[Iterable[int]] = None,
     radar_frame_range=(0, 4),
     progress: bool = True,
@@ -82,7 +83,9 @@ def run_pipeline(
     if "seg" in stage_names and seg_estimator is not None:
         log("seg")
         for idx in indices:
-            stages.semantic_seg_artifact(out_dir, idx, seg_estimator)
+            stages.semantic_seg_artifact(
+                out_dir, idx, seg_estimator, remap=seg_remap
+            )
     if "gt" in stage_names:
         log("gt (lidar accumulation)")
         current_scene = None

@@ -354,6 +354,63 @@ def vehicle_mask(universal: np.ndarray) -> np.ndarray:
     return np.isin(universal, ids)
 
 
+# Cityscapes trainIds in order (the label space of the reference's
+# OTHER seg producer, Panoptic-DeepLab R101-os32 Cityscapes,
+# semantic_seg.py:89-171).
+CITYSCAPES_TRAIN_CLASSES = (
+    'road', 'sidewalk', 'building', 'wall', 'fence', 'pole',
+    'traffic light', 'traffic sign', 'vegetation', 'terrain', 'sky',
+    'person', 'rider', 'car', 'truck', 'bus', 'train', 'motorcycle',
+    'bicycle',
+)
+
+# trainId -> MERGED_CLASSES id (same 21-label training space the mseg
+# path produces): every cityscapes class has an exact counterpart
+# except 'train' (excluded from MERGED_CLASSES -> 255 ignore, matching
+# reduced_mseg's everything-else-255 rule).
+_CITYSCAPES_TO_MERGED = (
+    4,    # road
+    5,    # sidewalk       -> no_drive_road (sidewalk_pavement)
+    3,    # building
+    20,   # wall           -> plane_surface
+    15,   # fence
+    8,    # pole
+    12,   # traffic light
+    11,   # traffic sign
+    16,   # vegetation
+    6,    # terrain
+    14,   # sky
+    7,    # person
+    7,    # rider          -> person (rider_other/bicyclist/motorcyclist)
+    18,   # car
+    19,   # truck
+    19,   # bus            -> truck group
+    255,  # train          (not in MERGED_CLASSES)
+    17,   # motorcycle     -> two_wheels
+    17,   # bicycle        -> two_wheels
+)
+
+
+def cityscapes_to_training_labels(cls: np.ndarray) -> np.ndarray:
+    """Cityscapes trainIds (19-class Panoptic-DeepLab output) -> the
+    21-class training labels with 255 ignore — the TPU-native
+    counterpart of the mseg 194->56->21 flow, so ``prep --seg
+    jax-panoptic`` can produce the SAME artifact contract without the
+    external mseg net."""
+    lut = np.full(256, IGNORE_LABEL, np.int64)
+    lut[: len(_CITYSCAPES_TO_MERGED)] = _CITYSCAPES_TO_MERGED
+    return lut[np.clip(cls, 0, 255)]
+
+
+def vehicle_mask_cityscapes(cls: np.ndarray) -> np.ndarray:
+    """car|truck|bus mask from cityscapes trainIds — EXACTLY the
+    reference's Panoptic-DeepLab path (semantic_seg.py:163-166:
+    classes 13, 14, 15)."""
+    from camradepth_tpu.models.panoptic_deeplab import VEHICLE_CLASSES
+
+    return np.isin(cls, VEHICLE_CLASSES)
+
+
 def semantic_seg_artifact(
     out_dir: Path,
     sample_idx: int,
@@ -361,21 +418,31 @@ def semantic_seg_artifact(
     remap: str = "merged",
 ) -> None:
     """Run the pluggable segmentation net on %05d_im.jpg and store the
-    remapped labels as %05d_mseg.npy. remap: 'merged' (21-class training
-    labels) or 'vehicle' (boolean mask for occlusion filtering)."""
+    remapped labels as %05d_mseg.npy. remap names the estimator's label
+    space + target: 'merged'/'vehicle' consume mseg-universal ids
+    (194-class), 'cityscapes'/'vehicle_cityscapes' consume cityscapes
+    trainIds (the Panoptic-DeepLab path); 'merged'/'cityscapes' emit
+    the 21-class training labels, 'vehicle*' the boolean mask."""
     if seg_estimator is None:
         raise RuntimeError(
             "no segmentation estimator configured; provide precomputed "
             "*_mseg.npy artifacts or pass seg_estimator"
         )
+    remaps = {
+        "merged": mseg_to_training_labels,
+        "vehicle": vehicle_mask,
+        "cityscapes": cityscapes_to_training_labels,
+        "vehicle_cityscapes": vehicle_mask_cityscapes,
+    }
+    if remap not in remaps:
+        raise ValueError(
+            f"unknown remap {remap!r}; expected one of {sorted(remaps)}"
+        )
     im = cv2.imread(str(out_dir / f"{sample_idx:05d}_im.jpg"))[..., ::-1]
-    universal = seg_estimator(im)
-    out = (
-        mseg_to_training_labels(universal)
-        if remap == "merged"
-        else vehicle_mask(universal)
+    np.save(
+        out_dir / f"{sample_idx:05d}_mseg.npy",
+        remaps[remap](seg_estimator(im)),
     )
-    np.save(out_dir / f"{sample_idx:05d}_mseg.npy", out)
 
 
 # ---------------------------------------------------------------------------
