@@ -88,6 +88,26 @@ class UserError(ValueError):
     user errors."""
 
 
+def _enable_compile_cache_on_accelerator() -> None:
+    """Persistent XLA compile cache for ACCELERATOR backends only.
+
+    The flagship train step takes ~8 min to compile through the axon
+    tunnel, so train/test/distill/serve want the cache as much as
+    bench does. Gate on the backend jax REALLY selected — never env
+    vars (the sitecustomize wins backend selection) — because XLA:CPU
+    cache entries are AOT executables whose target-machine features can
+    mismatch the host and SIGILL on load (see CLAUDE.md)."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/camradepth_jax_cache"
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5.0
+        )
+
+
 def _build_config(args):
     from camradepth_tpu import config as C
 
@@ -255,7 +275,8 @@ def cmd_prep(args) -> int:
     seg_estimator = make_seg_estimator(args.seg, ckpt=args.seg_ckpt)
     run_pipeline(nusc, args.out, stage_names=stages, mini=args.mini,
                  flow_estimator=flow_estimator,
-                 seg_estimator=seg_estimator)
+                 seg_estimator=seg_estimator,
+                 seg_remap=args.seg_remap)
     return 0
 
 
@@ -279,6 +300,8 @@ def cmd_train(args) -> int:
         )
 
     from camradepth_tpu.train.trainer import Trainer
+
+    _enable_compile_cache_on_accelerator()
 
     cfg = _build_config(args)
     mesh_kw = {}
@@ -304,6 +327,7 @@ def cmd_distill(args) -> int:
     (see train/distill.py docstring; no reference equivalent)."""
     from camradepth_tpu.train.distill import DistillTrainer
 
+    _enable_compile_cache_on_accelerator()
     cfg = _build_config(args)
     teacher_model_cfg = dataclasses.replace(
         cfg.model,
@@ -347,6 +371,8 @@ def cmd_distill(args) -> int:
 def cmd_test(args) -> int:
     from camradepth_tpu.data.pipeline import make_loaders
     from camradepth_tpu.evaluation.harness import evaluate, format_report
+
+    _enable_compile_cache_on_accelerator()
 
     cfg = _build_config(args)
     if not args.checkpoint:
@@ -604,6 +630,7 @@ def cmd_serve(args) -> int:
     from camradepth_tpu.data.pipeline import make_loaders
     from camradepth_tpu.serving import load_engine, serving_mesh
 
+    _enable_compile_cache_on_accelerator()
     cfg = _build_config(args)
     if not args.checkpoint:
         print("error: --checkpoint required for serve (Orbax dir or "
@@ -1002,12 +1029,26 @@ def main(argv=None) -> int:
                    help="TorchScript file for --flow raft/torchscript "
                         "(reference scripts/cal_flow.py:18-21)")
     p.add_argument("--seg", default="none",
-                   choices=["none", "torchscript", "panoptic-deeplab"],
-                   help="semantic-seg estimator: a Panoptic-DeepLab-style "
-                        "TorchScript export (--seg-ckpt) or none (expects "
-                        "precomputed *_mseg.npy; scripts/semantic_seg.py)")
+                   choices=["none", "jax-panoptic", "torchscript",
+                            "panoptic-deeplab"],
+                   help="semantic-seg estimator: 'jax-panoptic' (the "
+                        "official panoptic_deeplab_R101_os32_cityscapes"
+                        ".pth into the TPU-native clean-room JAX model, "
+                        "models/panoptic_deeplab.py), a TorchScript "
+                        "export (--seg-ckpt) or none (expects precomputed "
+                        "*_mseg.npy; scripts/semantic_seg.py)")
     p.add_argument("--seg-ckpt", default="",
-                   help="TorchScript file for --seg")
+                   help="checkpoint for --seg (official .pth for "
+                        "jax-panoptic, TorchScript file otherwise)")
+    p.add_argument("--seg-remap", default="merged",
+                   choices=["merged", "vehicle", "cityscapes",
+                            "vehicle_cityscapes"],
+                   help="estimator label space + artifact: mseg-universal "
+                        "-> 21-class ('merged') / vehicle mask "
+                        "('vehicle'); cityscapes trainIds -> 21-class "
+                        "('cityscapes') / vehicle mask "
+                        "('vehicle_cityscapes', semantic_seg.py:163-166). "
+                        "Use the cityscapes pair with --seg jax-panoptic")
     p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("train", help="train a model variant")

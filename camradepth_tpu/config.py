@@ -211,6 +211,22 @@ class TrainConfig:
     # preemptible; pairs with auto-resume, which fast-forwards the
     # interrupted epoch past already-consumed steps)
     graceful_preemption: bool = True
+    # Input-pipeline shape (round-4 sustained-run finding: the pure
+    # device step is 372.6 ms but the naive loop ran at ~1.7-1.9 s/step
+    # — host assembly + the per-step 74 MB host->device transfer
+    # through the axon tunnel dominate).
+    # transfer_dtype: wire format of batch["features"]. "auto" ships
+    # bfloat16 IFF model.compute_dtype is bfloat16 — bit-exact there,
+    # because the model's first op casts the input to bf16 anyway
+    # (models/camradepth.py) — and float32 otherwise. Halves the
+    # dominant H2D payload.
+    transfer_dtype: str = "auto"  # auto | float32 | bfloat16
+    # prefetch_batches: assemble + dispatch H2D for up to N microbatch
+    # stacks AHEAD on a worker thread, overlapping host work and
+    # transfer with device compute. 0 = inline (multi-process runs
+    # always use the inline path: cross-process array assembly must
+    # stay on one thread in a deterministic order).
+    prefetch_batches: int = 2
     output_dir: str = "Output"
     arch_name: str = "Transformer"
     run_name: str = "current"

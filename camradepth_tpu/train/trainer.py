@@ -421,6 +421,99 @@ class Trainer:
             mbs.append({k: b[k] for k in _BATCH_KEYS if k in b})
         return {k: np.stack([m[k] for m in mbs]) for k in mbs[0]}
 
+    def _feature_transfer_dtype(self):
+        """Wire dtype for batch["features"] (TrainConfig.transfer_dtype):
+        bf16 halves the dominant per-step H2D payload and is BIT-EXACT
+        when the model computes in bf16 (its first op casts the input,
+        models/camradepth.py) — 'auto' only ships bf16 in that case."""
+        td = self.cfg.train.transfer_dtype
+        if td == "auto":
+            td = (
+                "bfloat16"
+                if self.cfg.model.compute_dtype == "bfloat16"
+                else "float32"
+            )
+        if td == "bfloat16":
+            return jnp.bfloat16
+        if td == "float32":
+            return None  # loader-native f32: no cast, no copy
+        raise ValueError(
+            f"train.transfer_dtype must be auto|float32|bfloat16, "
+            f"got {td!r}"
+        )
+
+    def _prepare_micro(self, micro):
+        """Host microbatch stack -> device arrays (cast + put); the
+        single H2D step both the inline loop and the prefetcher use."""
+        tdt = self._feature_transfer_dtype()
+        if tdt is not None:
+            micro = dict(micro)
+            micro["features"] = micro["features"].astype(tdt)
+        if self._micro_sharding is None:
+            return jax.device_put(micro)
+        if self._loader_process_sharded:
+            # micro holds only this process's rows of the global batch
+            return multihost.local_batch_to_global(
+                micro, self._micro_sharding
+            )
+        return multihost.put_global(micro, self._micro_sharding)
+
+    def _device_microbatches(self, it, n_steps: int):
+        """Yield up to n_steps device-resident microbatch stacks.
+
+        Single-process runs assemble + dispatch the H2D for up to
+        ``prefetch_batches`` stacks AHEAD on a worker thread
+        (device_put is async: the transfer overlaps device compute of
+        the current step — the round-4 sustained run measured the
+        naive loop at ~3x the pure device step time, all input
+        pipeline). Multi-process runs keep the inline path: global
+        array assembly must happen on one thread in the same order on
+        every process."""
+        depth = self.cfg.train.prefetch_batches
+        if depth <= 0 or multihost.is_multiprocess():
+            for _ in range(n_steps):
+                try:
+                    yield self._prepare_micro(self._stack_microbatches(it))
+                except StopIteration:
+                    return
+            return
+
+        import queue as _queue
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        _END, _ERR = object(), object()
+
+        def worker():
+            try:
+                for _ in range(n_steps):
+                    q.put(self._prepare_micro(self._stack_microbatches(it)))
+            except StopIteration:
+                pass
+            except BaseException as e:  # surfaced on the main thread
+                q.put((_ERR, e))
+                return
+            q.put((_END, None))
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="microbatch-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, tuple) and item and item[0] is _END:
+                    return
+                if isinstance(item, tuple) and item and item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            # unblock the producer if the consumer stops early
+            # (preemption/break): drain without processing
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    t.join(timeout=0.1)
+
     def _preemption_requested(self) -> bool:
         """Poll the SIGTERM flag; in multi-process runs the decision is
         all-reduced so every process stops at the SAME step boundary (a
@@ -460,20 +553,12 @@ class Trainer:
             except StopIteration:
                 break
         t0 = time.perf_counter()
-        for i in range(min(skip_opt_steps, n_opt_steps), n_opt_steps):
-            try:
-                micro = self._stack_microbatches(it)
-            except StopIteration:
+        start = min(skip_opt_steps, n_opt_steps)
+        batches = self._device_microbatches(it, n_opt_steps - start)
+        for i in range(start, n_opt_steps):
+            micro = next(batches, None)
+            if micro is None:
                 break
-            if self._micro_sharding is None:
-                micro = jax.device_put(micro)
-            elif self._loader_process_sharded:
-                # micro holds only this process's rows of the global batch
-                micro = multihost.local_batch_to_global(
-                    micro, self._micro_sharding
-                )
-            else:
-                micro = multihost.put_global(micro, self._micro_sharding)
             step_rng = jax.random.fold_in(rng, i)
             if multihost.is_multiprocess():
                 # every jit input must live on the global mesh
