@@ -13,11 +13,11 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from camradepth_tpu.config import ExperimentConfig
 from camradepth_tpu.evaluation import metrics as M
+from camradepth_tpu.utils.prefetch import prefetch_iter
 
 
 def make_test_step(cfg: ExperimentConfig, model):
@@ -87,23 +87,30 @@ def evaluate(
     loader,
     time_inference: bool = True,
     test_step=None,
+    prefetch: int = 2,
 ) -> Dict[str, float]:
     """Run the full test split; returns the reference report plus
     true-depth north-star metrics and throughput. ``test_step``
     overrides the model-built step (the deployment-artifact path,
-    :func:`make_artifact_test_step`)."""
+    :func:`make_artifact_test_step`). ``prefetch`` batches are loaded
+    + dispatched ahead on a worker thread (device_put is async) so host
+    artifact reads overlap device compute; 0 = inline."""
     if test_step is None:
         test_step = jax.jit(make_test_step(cfg, model))
     all_rows = []
     names = []
     n_frames = 0
-    t_start = time.perf_counter()
-    for batch in loader:
-        dev_batch = {
-            k: jnp.asarray(v)
+
+    def _prepare(batch):
+        dev = {
+            k: jax.device_put(v)
             for k, v in batch.items()
             if k in ("features", "gt_depth", "seg")
         }
+        return batch, dev
+
+    t_start = time.perf_counter()
+    for batch, dev_batch in prefetch_iter(loader, prefetch, _prepare):
         rows = test_step(params, dev_batch)
         rows = {k: np.asarray(v) for k, v in rows.items()}
         valid = batch["valid"].astype(bool)

@@ -56,6 +56,7 @@ from camradepth_tpu.utils.logging import (
     NullWriter,
     create_run_dir,
 )
+from camradepth_tpu.utils.prefetch import prefetch_iter
 
 _BATCH_KEYS = ("features", "gt_depth", "seg", "seg_inter")
 
@@ -458,6 +459,15 @@ class Trainer:
             )
         return multihost.put_global(micro, self._micro_sharding)
 
+    def _micro_source(self, it, n_steps: int):
+        """Up to n_steps host microbatch stacks (ends early when the
+        loader runs dry)."""
+        for _ in range(n_steps):
+            try:
+                yield self._stack_microbatches(it)
+            except StopIteration:
+                return
+
     def _device_microbatches(self, it, n_steps: int):
         """Yield up to n_steps device-resident microbatch stacks.
 
@@ -470,49 +480,11 @@ class Trainer:
         array assembly must happen on one thread in the same order on
         every process."""
         depth = self.cfg.train.prefetch_batches
-        if depth <= 0 or multihost.is_multiprocess():
-            for _ in range(n_steps):
-                try:
-                    yield self._prepare_micro(self._stack_microbatches(it))
-                except StopIteration:
-                    return
-            return
-
-        import queue as _queue
-
-        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
-        _END, _ERR = object(), object()
-
-        def worker():
-            try:
-                for _ in range(n_steps):
-                    q.put(self._prepare_micro(self._stack_microbatches(it)))
-            except StopIteration:
-                pass
-            except BaseException as e:  # surfaced on the main thread
-                q.put((_ERR, e))
-                return
-            q.put((_END, None))
-
-        t = threading.Thread(target=worker, daemon=True,
-                             name="microbatch-prefetch")
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if isinstance(item, tuple) and item and item[0] is _END:
-                    return
-                if isinstance(item, tuple) and item and item[0] is _ERR:
-                    raise item[1]
-                yield item
-        finally:
-            # unblock the producer if the consumer stops early
-            # (preemption/break): drain without processing
-            while t.is_alive():
-                try:
-                    q.get_nowait()
-                except _queue.Empty:
-                    t.join(timeout=0.1)
+        if multihost.is_multiprocess():
+            depth = 0
+        return prefetch_iter(
+            self._micro_source(it, n_steps), depth, self._prepare_micro
+        )
 
     def _preemption_requested(self) -> bool:
         """Poll the SIGTERM flag; in multi-process runs the decision is

@@ -29,6 +29,16 @@ class TestEvaluate:
         )["params"]
         loaders = make_loaders(cfg.data, batch_size=4)
         report = evaluate(cfg, model, params, loaders["test"])
+        # the background-prefetch input path must be observationally
+        # identical to inline loading (metric keys are means of the
+        # same per-frame rows in the same order)
+        inline = evaluate(cfg, model, params,
+                          make_loaders(cfg.data, batch_size=4)["test"],
+                          prefetch=0)
+        for k, v in report.items():
+            if k not in ("wall_s", "time_per_frame_s",
+                         "frames_per_sec_end_to_end"):
+                np.testing.assert_array_equal(v, inline[k], err_msg=k)
         for key in ("rmse_100", "mae_100", "rel_100", "rmse_50", "mae_50",
                     "rel_50", "rmse_edge", "rmse_sunny", "frames",
                     "true_rmse_50", "true_rmse_70", "true_rmse_80",
