@@ -245,6 +245,26 @@ def _load_params(cfg, checkpoint: str, strict: bool = False):
 
 
 def cmd_prep(args) -> int:
+    # The remap must match the estimator's label space: jax-panoptic
+    # emits cityscapes trainIds, torchscript emits mseg-universal ids.
+    # Running trainIds through the mseg LUTs would write wrong-but-
+    # valid-looking *_mseg.npy artifacts with no error. Validated
+    # before any import so the flag error is reachable without the
+    # devkit.
+    _SEG_LABEL_SPACES = {
+        "jax-panoptic": ("cityscapes", "vehicle_cityscapes"),
+        "torchscript": ("merged", "vehicle"),
+        "panoptic-deeplab": ("merged", "vehicle"),
+    }
+    allowed = _SEG_LABEL_SPACES.get(args.seg)
+    if allowed is not None and args.seg_remap not in allowed:
+        raise UserError(
+            f"--seg {args.seg} produces "
+            f"{'cityscapes trainIds' if args.seg == 'jax-panoptic' else 'mseg-universal ids'};"
+            f" --seg-remap must be one of {allowed} (got "
+            f"'{args.seg_remap}')"
+        )
+
     from camradepth_tpu.dataprep.pipeline import ALL_STAGES, run_pipeline
 
     try:

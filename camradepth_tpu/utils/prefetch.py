@@ -53,24 +53,28 @@ def prefetch_iter(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def put_until_stop(out) -> bool:
+        # Every producer-side put must be stop-checked: an untimed
+        # q.put on a full queue would park this thread forever when the
+        # consumer exits early, and a timed-out put that gives up would
+        # drop the _END/error sentinel and hang the consumer in q.get()
+        # while it waits out a long first compile.
+        while not stop.is_set():
+            try:
+                q.put(out, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in src:
-                out = (None, prepare(item))
-                while not stop.is_set():
-                    try:
-                        q.put(out, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_until_stop((None, prepare(item))):
                     return
-            q.put((None, _END))
+            put_until_stop((None, _END))
         except BaseException as e:  # re-raised on the consumer thread
-            try:
-                q.put((e, None), timeout=1.0)
-            except queue.Full:
-                pass
+            put_until_stop((e, None))
 
     t = threading.Thread(target=worker, daemon=True, name="prefetch_iter")
     t.start()

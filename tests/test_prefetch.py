@@ -71,6 +71,56 @@ def test_early_consumer_exit_unblocks_producer():
     assert len(produced) < 20
 
 
+def test_error_survives_full_queue_and_slow_consumer():
+    """A worker raise while the queue is full must still reach the
+    consumer after it drains the queued items — the error put must
+    retry like any other put, not give up after a timeout (regression:
+    a 1 s put timeout dropped the error while the consumer sat in a
+    long first compile, hanging it in q.get() forever)."""
+
+    def src():
+        yield 0
+        yield 1
+        raise RuntimeError("late boom")
+
+    it = prefetch_iter(src(), depth=1)
+    time.sleep(1.5)  # queue full; the old error put timed out by now
+    got, err = [], []
+
+    def consume():
+        try:
+            for x in it:
+                got.append(x)
+        except RuntimeError as e:
+            err.append(e)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(10.0)
+    assert not t.is_alive(), "consumer hung: worker error was dropped"
+    assert got == [0, 1]
+    assert err and "late boom" in str(err[0])
+
+
+def test_end_sentinel_put_respects_stop():
+    """Worker parked on the END-sentinel put (source exhausted, queue
+    full) must exit when the consumer stops early — the old untimed
+    q.put leaked the thread and its device-resident queue items."""
+    it = prefetch_iter(iter([0, 1]), depth=1)
+    assert next(it) == 0
+    time.sleep(0.3)  # worker: item 1 queued, now parked on the END put
+    it.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if all(not t.name.startswith("prefetch_iter")
+               for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert all(not t.name.startswith("prefetch_iter")
+               for t in threading.enumerate()), (
+        "producer thread leaked on the END-sentinel put")
+
+
 def test_overlap_actually_happens():
     """With depth>=1 the producer works ahead while the consumer is
     busy: total wall-clock for N items with producer cost p and

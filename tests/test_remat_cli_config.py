@@ -195,6 +195,44 @@ class TestSetOverrides:
             cli.main(["summary", "--preset", "base"])
 
 
+class TestPrepSegRemapValidation:
+    """`prep --seg X --seg-remap Y` label-space compatibility: the
+    jax-panoptic estimator emits cityscapes trainIds; feeding those
+    through the mseg-universal LUTs (the 'merged'/'vehicle' remaps)
+    would write wrong-but-valid-looking artifacts with no error, so the
+    CLI must refuse the combination up front (before the devkit
+    import, so the error is reachable without nuscenes installed)."""
+
+    def _prep(self, *extra):
+        return cli_main(
+            ["prep", "--data-root", "/nonexistent", "--out",
+             "/tmp/never-used"] + list(extra)
+        )
+
+    def test_jax_panoptic_default_remap_refused(self, capsys):
+        rc = self._prep("--seg", "jax-panoptic", "--seg-ckpt", "x.pth")
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "cityscapes trainIds" in err and "--seg-remap" in err
+
+    def test_torchscript_cityscapes_remap_refused(self, capsys):
+        rc = self._prep("--seg", "torchscript", "--seg-ckpt", "x.ts",
+                        "--seg-remap", "cityscapes")
+        assert rc == 2
+        assert "mseg-universal" in capsys.readouterr().err
+
+    def test_valid_combo_reaches_devkit_gate(self, capsys):
+        # valid label-space pairing passes validation; in this devkit-
+        # free environment prep then stops at the nuscenes import with
+        # its own message — proving validation did not fire.
+        rc = self._prep("--seg", "jax-panoptic", "--seg-ckpt", "x.pth",
+                        "--seg-remap", "vehicle_cityscapes")
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "nuscenes-devkit" in err
+        assert "--seg-remap" not in err
+
+
 class TestSummaryCommand:
     """cli summary: shape-only param/FLOPs report (reference torchinfo
     smoke block, CamRaDepth.py:179-180, as a product subcommand)."""

@@ -40,19 +40,15 @@ def main() -> int:
     ap.add_argument("--extra", default=None)
     args = ap.parse_args()
 
-    import jax
-
-    if jax.default_backend() != "cpu":
-        jax.config.update(
-            "jax_compilation_cache_dir", "/tmp/camradepth_jax_cache"
-        )
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 5.0
-        )
     import jax.numpy as jnp
 
     from camradepth_tpu import config as C
-    from camradepth_tpu.cli import _load_params
+    from camradepth_tpu.cli import (
+        _enable_compile_cache_on_accelerator,
+        _load_params,
+    )
+
+    _enable_compile_cache_on_accelerator()
     from camradepth_tpu.data.pipeline import make_loaders
     from camradepth_tpu.data import channels
     from camradepth_tpu.evaluation.harness import evaluate

@@ -65,11 +65,14 @@ def summarize(run_dir: str | Path) -> dict:
         inst = ds[ok] / dt[ok]
         out["steps_per_sec"] = {
             "reported_median": round(float(np.median(vals)), 4),
-            "instantaneous_p50": round(float(np.percentile(inst, 50)), 4),
-            "instantaneous_p90": round(float(np.percentile(inst, 90)), 4),
-            "instantaneous_p10": round(float(np.percentile(inst, 10)), 4),
             "n_logged": int(len(sps)),
         }
+        if inst.size:  # needs >=2 logged rows (short/preempted runs)
+            out["steps_per_sec"].update(
+                instantaneous_p50=round(float(np.percentile(inst, 50)), 4),
+                instantaneous_p90=round(float(np.percentile(inst, 90)), 4),
+                instantaneous_p10=round(float(np.percentile(inst, 10)), 4),
+            )
         first_loss = by_tag["train/loss"][0]
         last_loss = by_tag["train/loss"][-1]
         out["steps_total"] = int(last_loss["step"])
