@@ -35,9 +35,11 @@ class TestEvaluate:
         inline = evaluate(cfg, model, params,
                           make_loaders(cfg.data, batch_size=4)["test"],
                           prefetch=0)
+        timing_keys = ("wall_s", "time_per_frame_s",
+                       "frames_per_sec_end_to_end",
+                       "frames_per_sec_steady", "time_per_frame_steady_s")
         for k, v in report.items():
-            if k not in ("wall_s", "time_per_frame_s",
-                         "frames_per_sec_end_to_end"):
+            if k not in timing_keys:
                 np.testing.assert_array_equal(v, inline[k], err_msg=k)
         for key in ("rmse_100", "mae_100", "rel_100", "rmse_50", "mae_50",
                     "rel_50", "rmse_edge", "rmse_sunny", "frames",
