@@ -67,6 +67,12 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--inflight", default="1,2",
                     help="comma-separated in-flight depths to compare")
+    ap.add_argument("--concurrent", type=int, default=0,
+                    help="ALSO measure cross-request micro-batching: N "
+                         "client threads each stream batch-1 requests "
+                         "through a BatchAggregator (serving_http.py), "
+                         "vs the serial batch-1 baseline — the measured "
+                         "value of request coalescing under load")
     args = ap.parse_args(argv)
 
     cfg, engine = build_engine(args)
@@ -96,6 +102,74 @@ def main(argv=None) -> int:
                         "tpu_decoder" if args.tpu_decoder else
                         cfg.name),
         }))
+
+    if args.concurrent > 0:
+        import threading
+
+        from camradepth_tpu.serving_http import BatchAggregator
+
+        variant = ("tiny" if args.tiny else
+                   "tpu_decoder" if args.tpu_decoder else cfg.name)
+        per_client = max(1, args.frames // args.concurrent)
+
+        # serial baseline: one request per device call. The engine runs
+        # ONE fixed-shape program (batch padded internally), so a lone
+        # batch-1 request pays the whole batch's compute for 1 useful
+        # frame — aggregation's win is filling those padded slots with
+        # real concurrent requests.
+        engine.infer_batch(frames[0][None])  # warm path
+        t0 = time.perf_counter()
+        for i in range(min(8, args.frames)):
+            engine.infer_batch(frames[i][None])
+        serial_fps = min(8, args.frames) / (time.perf_counter() - t0)
+
+        # count device rounds to report the achieved coalescing factor
+        rounds = []
+        real_infer = engine.infer_batch
+
+        def counting_infer(x):
+            rounds.append(x.shape[0])
+            return real_infer(x)
+
+        engine.infer_batch = counting_infer
+        agg = BatchAggregator(engine, max_wait_ms=5.0)
+        try:
+            errs = []
+
+            def client(k):
+                try:
+                    for i in range(per_client):
+                        agg.infer(frames[(k * per_client + i)
+                                         % len(frames)][None])
+                except Exception as e:  # pragma: no cover - surfaced below
+                    errs.append(e)
+
+            threads = [threading.Thread(target=client, args=(k,))
+                       for k in range(args.concurrent)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            if errs:
+                raise errs[0]
+            n = per_client * args.concurrent
+            print(json.dumps({
+                "mode": "concurrent_batch1_aggregated",
+                "clients": args.concurrent,
+                "frames": n,
+                "wall_s": round(wall, 4),
+                "fps_aggregated": round(n / wall, 2),
+                "fps_serial_one_request_per_call": round(serial_fps, 2),
+                "speedup_vs_serial": round(n / wall / serial_fps, 2),
+                "device_rounds": len(rounds),
+                "mean_device_batch": round(float(np.mean(rounds)), 2),
+                "variant": variant,
+            }))
+        finally:
+            agg.close()
+            engine.infer_batch = real_infer
     return 0
 
 
