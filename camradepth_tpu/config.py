@@ -155,6 +155,16 @@ class DataConfig:
     # GIL-free so loader worker threads scale; auto-falls back to numpy
     # when the native lib or the frame's dtypes are unsupported.
     native_assemble: bool = True
+    # Compact train-loader wire format (data/wire.py): uint8 image +
+    # sparse COO radar/GT + uint8 seg, decoded on device inside the
+    # jitted step — ~4x fewer H2D bytes/step through the ~44 MB/s axon
+    # tunnel, decoded batch bit-identical to the dense stack.
+    # "auto" engages for single-process training without sp sharding
+    # when the channel config is supported; "on" errors if unusable;
+    # "off" keeps the dense path everywhere.
+    wire_format: str = "off"
+    wire_radar_cap: int = 0  # points/frame; 0 = probe the dataset
+    wire_gt_cap: int = 0     # points/frame; 0 = probe (dense if big)
 
     @property
     def effective_train_val_split(self) -> Tuple[int, int]:

@@ -81,12 +81,17 @@ def load_frame_arrays(row: Sequence[str], cfg: DataConfig) -> Dict[str, np.ndarr
 
 class NuscenesFrames:
     """Random-access frame store over a split table (reference
-    NuscenesDataset, dataloader.py:197-336)."""
+    NuscenesDataset, dataloader.py:197-336).
+
+    With ``wire_plan`` set (data/wire.py), items are compact wire
+    examples (uint8 image + sparse COO radar/GT) instead of the dense
+    feature stack — the jitted train step decodes them on device."""
 
     def __init__(self, rows: np.ndarray, cfg: DataConfig,
-                 seed: int = 0):
+                 seed: int = 0, wire_plan=None):
         self.rows = rows
         self.cfg = cfg
+        self.wire_plan = wire_plan
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -98,7 +103,12 @@ class NuscenesFrames:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         arrays = load_frame_arrays(self.rows[index], self.cfg)
-        out = ch.assemble_frame(arrays, self.cfg, rng=self._rng)
+        if self.wire_plan is not None:
+            from camradepth_tpu.data.wire import encode_frame_wire
+
+            out = encode_frame_wire(arrays, self.cfg, self.wire_plan)
+        else:
+            out = ch.assemble_frame(arrays, self.cfg, rng=self._rng)
         out["index"] = np.int32(index)
         return out
 
@@ -193,7 +203,7 @@ class BatchLoader:
 
 def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
                  num_workers: Optional[int] = None, seed: int = 0,
-                 process_shard=None):
+                 process_shard=None, wire: bool = False):
     """Train/val/test loaders over a split file (reference
     make_dataloaders, dataloader.py:22-50): train = rows[:n_train] shuffled,
     val = next n_val, test = remainder at batch 1 semantics (we batch test
@@ -212,7 +222,7 @@ def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
     tr, va, te = split_ranges(len(rows), cfg.effective_train_val_split)
     workers = cfg.num_workers if num_workers is None else num_workers
 
-    def mk(r, shuffle, bs, drop, shard=False):
+    def mk(r, shuffle, bs, drop, shard=False, wire_loader=False):
         if len(r) == 0:
             return None
         sel = rows[list(r)]
@@ -222,14 +232,27 @@ def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
             if n == 0:
                 return None
             sel = sel[:n][pid::pc]
-        frames = NuscenesFrames(sel, cfg, seed=seed)
+        plan = None
+        if wire_loader:
+            from camradepth_tpu.data.wire import plan_wire
+
+            plan = plan_wire(sel, cfg)  # None -> dense fallback
+            if plan is None and cfg.wire_format == "on":
+                raise ValueError(
+                    "data.wire_format=on but the channel config / "
+                    "dataset is unsupported by the wire codec "
+                    "(sparse_lidar, im_uv, non-uint8 images, or "
+                    "radar too dense) — use wire_format=auto or off"
+                )
+        frames = NuscenesFrames(sel, cfg, seed=seed, wire_plan=plan)
         return BatchLoader(
             frames, bs, shuffle=shuffle, num_workers=workers,
             prefetch=cfg.prefetch, drop_remainder=drop, seed=seed,
         )
 
     return {
-        "train": mk(tr, True, batch_size, True, shard=True),
+        "train": mk(tr, True, batch_size, True, shard=True,
+                    wire_loader=wire),
         "val": mk(va, False, batch_size, False),
         "test": mk(te, False, batch_size, False),
     }

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import optax
 
 from camradepth_tpu.config import ExperimentConfig
+from camradepth_tpu.data.wire import decode_wire_micro, is_wire_micro
 from camradepth_tpu.train.losses import multitask_loss
 from camradepth_tpu.train.step import (
     TrainState,
@@ -174,7 +175,10 @@ def make_distill_step(
 
     def distill_step(state: TrainState, microbatches, rng):
         accum = jax.tree.leaves(microbatches)[0].shape[0]
-        orig_b = microbatches["features"].shape[1]
+        orig_b = next(
+            v for k, v in microbatches.items()
+            if k in ("features", "image_u8")
+        ).shape[1]
 
         def micro_step(grads_acc, inp):
             i, micro = inp
@@ -183,6 +187,10 @@ def make_distill_step(
             )
             if pad_to:
                 micro = pad_microbatch(micro, pad_to)
+            if is_wire_micro(micro):
+                # compact wire batches decode on device (data/wire.py);
+                # both teacher and student see the decoded features
+                micro = decode_wire_micro(micro)
             b = micro["features"].shape[0]
             # static: which rows are real vs dummy padding — the dense
             # distill terms (unlike the self-masking GT terms) must not

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from camradepth_tpu.config import ExperimentConfig
+from camradepth_tpu.data.wire import decode_wire_micro, is_wire_micro
 from camradepth_tpu.ops.pooling import minpool_sparse
 from camradepth_tpu.train.losses import multitask_loss
 
@@ -94,6 +95,11 @@ def make_train_step(
     def loss_fn(params, micro, rng):
         if pad_to:
             micro = pad_microbatch(micro, pad_to)
+        if is_wire_micro(micro):
+            # compact wire batches (data/wire.py) decode on device —
+            # scatter + normalize fuse into the step for free, and the
+            # decoded batch is bit-identical to the dense stack
+            micro = decode_wire_micro(micro)
         pred = model.apply(
             {"params": params},
             micro["features"],

@@ -58,7 +58,12 @@ from camradepth_tpu.utils.logging import (
 )
 from camradepth_tpu.utils.prefetch import prefetch_iter
 
-_BATCH_KEYS = ("features", "gt_depth", "seg", "seg_inter")
+# dense batch contract + the compact wire keys (data/wire.py) — the
+# stacker takes whichever subset the loader produced
+_BATCH_KEYS = (
+    "features", "gt_depth", "seg", "seg_inter",
+    "image_u8", "radar_idx", "radar_val", "gt_idx", "gt_val",
+)
 
 
 class _PreemptionMonitor:
@@ -238,6 +243,29 @@ class Trainer:
             and self.mesh is not None
             and self.mesh.shape.get(cfg.mesh.sp_axis, 1) == 1
         )
+        # compact wire loader (data/wire.py): single-process, no sp
+        # sharding (the scatter decode must stay frame-local under the
+        # batch-only sharding; sp shards image H). "auto" silently
+        # falls back; "on" insists.
+        want_wire = cfg.data.wire_format
+        if want_wire not in ("off", "auto", "on"):
+            raise ValueError(
+                f"data.wire_format must be off|auto|on, got {want_wire!r}"
+            )
+        wire_ok = (
+            want_wire != "off"
+            and not multihost.is_multiprocess()
+            and (
+                self.mesh is None
+                or self.mesh.shape.get(cfg.mesh.sp_axis, 1) == 1
+            )
+        )
+        if want_wire == "on" and not wire_ok:
+            raise ValueError(
+                "data.wire_format=on requires a single-process run "
+                "without sp sharding (the on-device scatter decode is "
+                "frame-local) — use wire_format=auto or off"
+            )
         if self._loader_process_sharded:
             pc = jax.process_count()
             if cfg.train.batch_size % pc:
@@ -251,7 +279,7 @@ class Trainer:
             )
         else:
             self.loaders = loaders or make_loaders(
-                cfg.data, cfg.train.batch_size
+                cfg.data, cfg.train.batch_size, wire=wire_ok
             )
 
         if self.loaders.get("train") is None:
@@ -449,7 +477,14 @@ class Trainer:
         tdt = self._feature_transfer_dtype()
         if tdt is not None:
             micro = dict(micro)
-            micro["features"] = micro["features"].astype(tdt)
+            if "features" in micro:
+                micro["features"] = micro["features"].astype(tdt)
+            elif "radar_val" in micro:
+                # wire batches: the radar values are the only feature
+                # payload the bf16 wire quantizes (the image ships u8,
+                # normalized in f32 on device) — same bits the dense
+                # bf16 feature stack would carry for those channels
+                micro["radar_val"] = micro["radar_val"].astype(tdt)
         if self._micro_sharding is None:
             return jax.device_put(micro)
         if self._loader_process_sharded:
