@@ -170,15 +170,22 @@ def encode_frame_wire(
         "wire codec requires the resized uint8 BGR image"
     )
 
-    groups = _radar_sources(arrays, cfg)
+    # sources must be exactly (h, w), same contract as the dense paths
+    # (channels.f2d rejects anything else) — assert so mask indices and
+    # gathered values can never come from differently-shaped views
+    groups = [(np.asarray(s), fn) for s, fn in _radar_sources(arrays, cfg)]
+    for s, _ in groups:
+        assert s.shape[:2] == (h, w), (
+            f"radar source shape {s.shape} != image dimension {(h, w)}"
+        )
     mask = np.zeros((h, w), bool)
     for s, _ in groups:
-        mask |= np.asarray(s[:h, :w]) != 0
+        mask |= s != 0
     pts = np.flatnonzero(mask.reshape(-1))
     radar_idx = _sparsify(pts, plan.radar_cap, "radar channels")
     radar_val = np.zeros((plan.radar_cap, plan.n_radar_ch), np.float32)
     for c, (src, fn) in enumerate(groups):
-        vals = fn(np.asarray(src).reshape(-1)[pts])
+        vals = fn(src.reshape(-1)[pts])
         radar_val[: len(pts), c] = np.asarray(vals, np.float32)
 
     out = {
