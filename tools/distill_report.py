@@ -40,6 +40,7 @@ def main() -> int:
     ap.add_argument("--extra", default=None)
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from camradepth_tpu import config as C
