@@ -145,7 +145,14 @@ def partial_restore_params(saved_params, target_params,
         if key in flat_saved and tuple(np.shape(flat_saved[key])) == tuple(
             np.shape(value)
         ):
-            out.append(jax.numpy.asarray(flat_saved[key], value.dtype))
+            # COPY, never alias: jnp.asarray returns the SAME Array
+            # object for a matching-dtype device array, and restored
+            # leaves flow into TrainStates whose jitted steps DONATE
+            # their buffers (trainer.py donate_argnums) — an aliased
+            # source tree is invalidated by the first step, crashing
+            # any later use of it ("Array has been deleted", e.g. a
+            # distill teacher warm-starting a second student).
+            out.append(jax.numpy.array(flat_saved[key], dtype=value.dtype))
         else:
             reason = ("missing" if key not in flat_saved else
                       f"shape {np.shape(flat_saved[key])} vs {np.shape(value)}")
