@@ -441,7 +441,14 @@ def cmd_test(args) -> int:
         )
     else:
         model, params = _load_params(cfg, args.checkpoint)
-        loaders = make_loaders(cfg.data, batch_size=args.test_batch)
+        # wire_format auto/on: compact wire test loader (~8x fewer H2D
+        # bytes/frame); the harness decodes on device, bit-exact. The
+        # artifact branch above stays dense — artifacts bake a dense-
+        # features signature at export time.
+        loaders = make_loaders(
+            cfg.data, batch_size=args.test_batch,
+            wire_eval=cfg.data.wire_format != "off",
+        )
         report = evaluate(cfg, model, params, loaders["test"])
     print(format_report(cfg, report))
     if args.report_json:
@@ -693,10 +700,55 @@ def cmd_serve(args) -> int:
             "--spatial-parallel — their partitioning is fixed at export "
             "time; serve the Orbax/.pth checkpoint instead"
         )
+    # compact wire serving (data/wire.py): requests ship uint8 images
+    # + COO radar, the engine decodes on device inside the jitted
+    # forward — bit-identical outputs from ~8x fewer H2D (and network)
+    # bytes/frame. Checkpoint sources only (artifacts bake a dense
+    # signature), batch sharding only (the decode is frame-local).
+    # Split streaming probes the dataset for point caps; the HTTP
+    # endpoint has no dataset to probe, so it needs an explicit
+    # --set data.wire_radar_cap=N (caps are published in /v1/info).
+    wire_plan = None
+    loaders = None
+    http = getattr(args, "http_port", None) is not None
+    wire_want = (
+        cfg.data.wire_format != "off"
+        and not is_artifact(args.checkpoint)
+        and sp_axis is None
+    )
+    if cfg.data.wire_format == "on" and not wire_want:
+        raise UserError(
+            "data.wire_format=on is incompatible with artifact / "
+            "spatially-sharded serving — use wire auto or off"
+        )
+    if wire_want and http:
+        if cfg.data.wire_radar_cap:
+            from camradepth_tpu.data.wire import WirePlan
+
+            wire_plan = WirePlan(
+                radar_cap=cfg.data.wire_radar_cap, gt_cap=0,
+                n_radar_ch=cfg.model.input_channels - 3,
+            )
+        elif cfg.data.wire_format == "on":
+            raise UserError(
+                "HTTP wire serving needs an explicit request shape: "
+                "pass --set data.wire_radar_cap=N (no dataset to "
+                "probe point caps from)"
+            )
+    elif wire_want:
+        from camradepth_tpu.data.pipeline import make_loaders as _ml
+
+        loaders = _ml(cfg.data, batch_size=args.serve_batch,
+                      wire_eval=True)
+        lo = loaders.get("test") or loaders.get("val")
+        wire_plan = lo.frames.wire_plan if lo is not None else None
+        if wire_plan is None:
+            loaders = None  # plan probe fell back -> dense loaders
     try:
         engine = load_engine(cfg, args.checkpoint,
                              batch_size=args.serve_batch, mesh=mesh,
-                             batch_axis=batch_axis, spatial_axis=sp_axis)
+                             batch_axis=batch_axis, spatial_axis=sp_axis,
+                             wire_plan=wire_plan)
     except ValueError as e:
         # artifact header validation (geometry/preset mismatch) — a
         # user error; internal failures inside model init/restore are
@@ -715,7 +767,8 @@ def cmd_serve(args) -> int:
     # --serve-batch (a fixed-batch StableHLO artifact bakes its own);
     # batching the loader to the ENGINE's size keeps the no-copy
     # pass-through path (oversize items would be re-chunked row-wise)
-    loaders = make_loaders(cfg.data, batch_size=engine.batch_size)
+    if loaders is None:
+        loaders = make_loaders(cfg.data, batch_size=engine.batch_size)
     loader = loaders.get("test") or loaders.get("val")
     if loader is None:
         print("error: split has no test/val frames", file=sys.stderr)
@@ -728,7 +781,20 @@ def cmd_serve(args) -> int:
         # per-frame unpack/restack copy; the engine re-chunks ragged
         # tails itself. Eval loaders pad + mask the tail, so only the
         # valid rows are forwarded.
+        from camradepth_tpu.data.wire import is_wire_micro
+        from camradepth_tpu.serving import SERVE_WIRE_KEYS
+
         for batch in loader:
+            if is_wire_micro(batch):
+                item = {k: np.asarray(batch[k]) for k in SERVE_WIRE_KEYS}
+                valid = np.asarray(
+                    batch.get("valid",
+                              np.ones(item["image_u8"].shape[0]))
+                ).astype(bool)
+                if not valid.all():
+                    item = {k: v[valid] for k, v in item.items()}
+                yield item
+                continue
             feats = np.asarray(batch["features"])
             valid = np.asarray(
                 batch.get("valid", np.ones(feats.shape[0]))
@@ -1243,7 +1309,10 @@ def main(argv=None) -> int:
     p.add_argument("--http-port", type=int, default=None,
                    help="serve a REST endpoint instead of streaming a "
                         "split: GET /healthz, GET /v1/info, POST "
-                        "/v1/depth (.npy in, .npz out); 0 = ephemeral")
+                        "/v1/depth (.npy in, .npz out; with --wire + "
+                        "--set data.wire_radar_cap=N requests are "
+                        "compact .npz wire bodies, ~8x smaller); "
+                        "0 = ephemeral")
     p.add_argument("--http-host", default="0.0.0.0")
     p.add_argument("--http-batch-window-ms", type=float, default=3.0,
                    help="cross-request micro-batching window: "

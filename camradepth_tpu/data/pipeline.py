@@ -203,7 +203,8 @@ class BatchLoader:
 
 def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
                  num_workers: Optional[int] = None, seed: int = 0,
-                 process_shard=None, wire: bool = False):
+                 process_shard=None, wire: bool = False,
+                 wire_eval: bool = False):
     """Train/val/test loaders over a split file (reference
     make_dataloaders, dataloader.py:22-50): train = rows[:n_train] shuffled,
     val = next n_val, test = remainder at batch 1 semantics (we batch test
@@ -250,9 +251,14 @@ def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
             prefetch=cfg.prefetch, drop_remainder=drop, seed=seed,
         )
 
+    # ``wire`` compacts the TRAIN loader (consumed by the wire-aware
+    # train step); ``wire_eval`` compacts val/test — their consumers
+    # (eval_step, the test harness, the serving engine's wire mode)
+    # decode on device, but dense-only consumers (viz, StableHLO
+    # artifact evaluation) must keep wire_eval off.
     return {
         "train": mk(tr, True, batch_size, True, shard=True,
                     wire_loader=wire),
-        "val": mk(va, False, batch_size, False),
-        "test": mk(te, False, batch_size, False),
+        "val": mk(va, False, batch_size, False, wire_loader=wire_eval),
+        "test": mk(te, False, batch_size, False, wire_loader=wire_eval),
     }

@@ -16,14 +16,31 @@ import jax
 import numpy as np
 
 from camradepth_tpu.config import ExperimentConfig
+from camradepth_tpu.data import wire
 from camradepth_tpu.evaluation import metrics as M
 from camradepth_tpu.utils.prefetch import prefetch_iter
+
+# Wall-clock-derived report keys: never metric-compared across runs
+# (consumers that diff two reports — e.g. live ckpt vs StableHLO
+# artifact — must skip exactly this set).
+TIMING_KEYS = (
+    "wall_s",
+    "time_per_frame_s",
+    "frames_per_sec_end_to_end",
+    "frames_per_sec_steady",
+    "time_per_frame_steady_s",
+)
 
 
 def make_test_step(cfg: ExperimentConfig, model):
     """Returns test_step(params, batch) -> per-frame metric rows [B]."""
 
     def test_step(params, batch):
+        if wire.is_wire_micro(batch):
+            # compact wire batches (data/wire.py) decode on device:
+            # ~8x fewer H2D bytes per frame than the dense f32 stack,
+            # bit-identical features/GT after the fused decode
+            batch = wire.decode_wire_micro(batch)
         pred = model.apply(
             {"params": params}, batch["features"], deterministic=True
         )
@@ -101,11 +118,13 @@ def evaluate(
     names = []
     n_frames = 0
 
+    dev_keys = ("features", "gt_depth", "seg") + wire.WIRE_KEYS
+
     def _prepare(batch):
         dev = {
             k: jax.device_put(v)
             for k, v in batch.items()
-            if k in ("features", "gt_depth", "seg")
+            if k in dev_keys
         }
         return batch, dev
 

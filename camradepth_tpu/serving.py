@@ -24,6 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from camradepth_tpu.config import ExperimentConfig
+from camradepth_tpu.data import wire as wire_codec
+
+# the wire keys a serving request actually needs (GT never ships)
+SERVE_WIRE_KEYS = ("image_u8", "radar_idx", "radar_val")
 
 
 def make_serving_forward(cfg: ExperimentConfig, model,
@@ -40,12 +44,56 @@ def make_serving_forward(cfg: ExperimentConfig, model,
         if decode_depth:
             depth = cfg.data.max_depth * (1.0 - depth)
         seg = out["seg"]["final_seg"]
-        return {
-            "depth": depth,
-            "seg": None if seg is None else jnp.argmax(seg, -1),
-        }
+        if seg is not None:
+            seg = jnp.argmax(seg, -1)
+            if cfg.model.num_classes <= 255:
+                # lossless: label ids fit a byte — a 4x smaller D2H /
+                # network payload (the 21-class argmax map is ~half
+                # the serving output bytes at int32)
+                seg = seg.astype(jnp.uint8)
+        return {"depth": depth, "seg": seg}
 
     return fwd
+
+
+def make_serving_forward_wire(cfg: ExperimentConfig, model,
+                              decode_depth: bool = True):
+    """Serving forward over compact WIRE requests (data/wire.py):
+    ``fwd(params, {image_u8, radar_idx, radar_val}) -> {depth, seg}``.
+    The on-device decode (LUT normalize + sparse scatter) fuses into
+    the jitted forward and reproduces the dense feature stack
+    bit-exactly, so a wire engine serves IDENTICAL outputs from ~8x
+    fewer H2D bytes per frame (uint8 image + COO radar vs the dense
+    f32 stack) — the production request format for network/edge
+    deployment."""
+    base = make_serving_forward(cfg, model, decode_depth)
+
+    def fwd(p, req):
+        feats = wire_codec.decode_wire_micro(
+            {k: req[k] for k in SERVE_WIRE_KEYS}
+        )["features"]
+        return base(p, feats)
+
+    return fwd
+
+
+def _item_arr(x):
+    """The leading-dim-carrying array of a stream item (dense feature
+    stack, or the image leaf of a compact wire request dict)."""
+    return x["image_u8"] if isinstance(x, dict) else x
+
+
+def _item_rows(x):
+    n = _item_arr(x).shape[0]
+    if isinstance(x, dict):
+        return [{k: v[i] for k, v in x.items()} for i in range(n)]
+    return list(x)
+
+
+def _item_stack(rows):
+    if isinstance(rows[0], dict):
+        return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    return np.stack(rows)
 
 
 class DepthEngine:
@@ -60,6 +108,7 @@ class DepthEngine:
         batch_axis: str = "data",
         spatial_axis: Optional[str] = None,
         forward_fn=None,
+        wire_plan=None,
     ):
         """``mesh`` (a jax.sharding.Mesh) turns on multi-chip serving:
         the batch shards over ``batch_axis`` (throughput scales with
@@ -74,14 +123,43 @@ class DepthEngine:
         prebuilt ``fwd(params, x)`` callable (the StableHLO deployment
         artifact path — params are baked into the artifact, so
         ``params`` may be None). Mutually exclusive with ``mesh``: an
-        artifact's sharding is fixed at export time."""
+        artifact's sharding is fixed at export time.
+
+        ``wire_plan`` (a data/wire.py WirePlan) switches the engine to
+        COMPACT WIRE requests: items are dicts with ``image_u8`` /
+        ``radar_idx`` / ``radar_val`` instead of dense feature stacks,
+        decoded on device inside the jitted forward (bit-exact, ~8x
+        fewer H2D bytes/frame). Incompatible with ``forward_fn``
+        (artifacts bake a dense signature) and with ``spatial_axis``
+        (the scatter decode is frame-local; wire requests shard over
+        the batch axis only)."""
         self.cfg = cfg
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.decode_depth = decode_depth
+        self.wire_plan = wire_plan
         h, w = cfg.model.img_size
         self._in_shape = (batch_size, h, w, cfg.model.input_channels)
+        if wire_plan is not None:
+            if forward_fn is not None:
+                raise ValueError(
+                    "wire_plan and forward_fn (deployment artifact) are "
+                    "mutually exclusive — artifacts bake a dense-"
+                    "features input signature at export time"
+                )
+            if spatial_axis is not None:
+                raise ValueError(
+                    "wire_plan cannot be combined with spatial "
+                    "sharding — the on-device scatter decode is frame-"
+                    "local; use batch (data) sharding only"
+                )
+            if 3 + wire_plan.n_radar_ch != cfg.model.input_channels:
+                raise ValueError(
+                    f"wire plan carries 3+{wire_plan.n_radar_ch} "
+                    f"channels but the model expects "
+                    f"{cfg.model.input_channels}"
+                )
         self._in_sharding = None
         if mesh is not None:
             if forward_fn is not None:
@@ -100,6 +178,10 @@ class DepthEngine:
 
         if forward_fn is not None:
             self._fwd = forward_fn
+        elif wire_plan is not None:
+            self._fwd = jax.jit(
+                make_serving_forward_wire(cfg, model, decode_depth)
+            )
         else:
             self._fwd = jax.jit(make_serving_forward(cfg, model,
                                                      decode_depth))
@@ -109,30 +191,58 @@ class DepthEngine:
         self._t_start: Optional[float] = None
         self._batch_times: list = []
 
+    def _warm_input(self):
+        if self.wire_plan is None:
+            return jnp.zeros(self._in_shape, jnp.float32)
+        b, p = self.batch_size, self.wire_plan
+        h, w = self.cfg.model.img_size
+        return {
+            "image_u8": jnp.zeros((b, h, w, 3), jnp.uint8),
+            "radar_idx": jnp.zeros((b, p.radar_cap), jnp.int32),
+            "radar_val": jnp.zeros(
+                (b, p.radar_cap, p.n_radar_ch), jnp.float32
+            ),
+        }
+
     def warmup(self) -> None:
-        x = jnp.zeros(self._in_shape, jnp.float32)
+        x = self._warm_input()
         if self._in_sharding is not None:
             x = jax.device_put(x, self._in_sharding)
         out = self._fwd(self.params, x)
         np.asarray(out["depth"][0, 0, 0])  # force completion
         self._warmed = True
 
-    def _dispatch(self, features: np.ndarray):
+    def _dispatch(self, features):
         """Pad + H2D + enqueue the forward WITHOUT waiting for the
         result: jitted dispatch is asynchronous, so the returned handle
-        represents in-flight device work. The pipelining primitive."""
+        represents in-flight device work. The pipelining primitive.
+        ``features``: dense [b, H, W, C] stack, or a compact wire
+        request dict (wire engines only)."""
         if not self._warmed:
             # compile outside the serving timers — a cold first request
             # must not pollute latency percentiles / throughput stats
             self.warmup()
-        n = features.shape[0]
+        if isinstance(features, dict):
+            if self.wire_plan is None:
+                raise ValueError(
+                    "this engine was built without wire_plan; wire "
+                    "request dicts need a wire engine (serving.py)"
+                )
+            features = {k: features[k] for k in SERVE_WIRE_KEYS}
+        n = _item_arr(features).shape[0]
         if n < self.batch_size:
-            pad = np.repeat(features[-1:], self.batch_size - n, axis=0)
-            features = np.concatenate([features, pad], axis=0)
+            k = self.batch_size - n
+
+            def _pad(v):
+                return np.concatenate(
+                    [v, np.repeat(v[-1:], k, axis=0)], axis=0
+                )
+
+            features = jax.tree.map(_pad, features)
         if self._t_start is None:
             self._t_start = time.perf_counter()
         t0 = time.perf_counter()
-        x = jnp.asarray(features)
+        x = jax.tree.map(jnp.asarray, features)
         if self._in_sharding is not None:
             x = jax.device_put(x, self._in_sharding)
         out = self._fwd(self.params, x)
@@ -152,8 +262,9 @@ class DepthEngine:
         self.batches_served += 1
         return result
 
-    def infer_batch(self, features: np.ndarray) -> Dict[str, np.ndarray]:
-        """features: [b<=batch_size, H, W, C]; pads the tail internally."""
+    def infer_batch(self, features) -> Dict[str, np.ndarray]:
+        """features: [b<=batch_size, H, W, C] (or a wire request dict
+        of [b, ...] leaves); pads the tail internally."""
         return self._materialize(self._dispatch(features))
 
     def infer_stream(
@@ -185,24 +296,29 @@ class DepthEngine:
             try:
                 buf = []  # list of single frames awaiting a full batch
                 for f in frames:
-                    f = np.asarray(f)
-                    if f.ndim == 4:  # pre-batched
+                    if isinstance(f, dict):
+                        f = {k: np.asarray(v) for k, v in f.items()
+                             if k in SERVE_WIRE_KEYS}
+                    else:
+                        f = np.asarray(f)
+                    if _item_arr(f).ndim == 4:  # pre-batched
                         # oversize items (a loader batched larger than
                         # the engine, e.g. a fixed-batch artifact whose
                         # baked size is smaller than --serve-batch) fall
                         # through to the re-chunk path below
-                        if not buf and f.shape[0] in (self.batch_size, 0):
-                            if f.shape[0]:
+                        nb = _item_arr(f).shape[0]
+                        if not buf and nb in (self.batch_size, 0):
+                            if nb:
                                 q_in.put(f)  # fast path: no copies
                             continue
-                        buf.extend(f)  # ragged/misaligned: re-chunk
+                        buf.extend(_item_rows(f))  # ragged: re-chunk
                     else:
                         buf.append(f)
                     while len(buf) >= self.batch_size:
-                        q_in.put(np.stack(buf[: self.batch_size]))
+                        q_in.put(_item_stack(buf[: self.batch_size]))
                         buf = buf[self.batch_size:]
                 if buf:
-                    q_in.put(np.stack(buf))
+                    q_in.put(_item_stack(buf))
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 q_in.put(e)
             else:
@@ -299,12 +415,14 @@ def load_engine(
     mesh=None,
     batch_axis: str = "data",
     spatial_axis: Optional[str] = None,
+    wire_plan=None,
 ) -> DepthEngine:
     """Engine from an Orbax checkpoint, a reference .pth, or a
     StableHLO serving artifact (``cli export --format stablehlo``);
-    pass a mesh (e.g. from ``serving_mesh``) for multi-chip serving
-    (checkpoint sources only — an artifact's partitioning is fixed at
-    export time)."""
+    pass a mesh (e.g. from ``serving_mesh``) for multi-chip serving,
+    or a ``wire_plan`` (data/wire.py) for compact wire requests
+    (checkpoint sources only — an artifact's partitioning AND input
+    signature are fixed at export time)."""
     from camradepth_tpu.interop.hlo_export import artifact_engine, is_artifact
 
     if is_artifact(checkpoint):
@@ -313,6 +431,11 @@ def load_engine(
                 "StableHLO artifacts cannot be served on a mesh — their "
                 "partitioning is fixed at export time; pass an Orbax/"
                 ".pth checkpoint for --data-parallel/--spatial-parallel"
+            )
+        if wire_plan is not None:
+            raise ValueError(
+                "StableHLO artifacts bake a dense input signature — "
+                "wire serving needs an Orbax/.pth checkpoint"
             )
         engine = artifact_engine(checkpoint, cfg, batch_size=batch_size)
         engine.warmup()
@@ -323,6 +446,7 @@ def load_engine(
     engine = DepthEngine(
         cfg, model, params, batch_size=batch_size, mesh=mesh,
         batch_axis=batch_axis, spatial_axis=spatial_axis,
+        wire_plan=wire_plan,
     )
     engine.warmup()
     return engine

@@ -12,6 +12,12 @@ API (all responses JSON unless noted):
   GET  /v1/info   model/engine geometry (batch, HxW, channels, classes)
   POST /v1/depth  body: one ``.npy`` array, float32 ``[H, W, C]`` or
                   ``[b, H, W, C]`` (b <= engine batch; padded inside).
+                  WIRE engines (serve --wire + data.wire_radar_cap)
+                  instead take an ``.npz`` with ``image_u8`` [H, W, 3]
+                  uint8, ``radar_idx`` [cap] int32 and ``radar_val``
+                  [cap, R] float32 (optionally [b, ...] batched) —
+                  ~8x fewer request bytes than the dense stack, decoded
+                  on device (data/wire.py; caps are in /v1/info).
                   Response: ``.npz`` with ``depth`` [b, H, W] metric
                   meters (or raw inverse encoding if the engine was
                   built decode_depth=False) and ``seg`` [b, H, W] int
@@ -32,6 +38,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
 import numpy as np
+
+from camradepth_tpu.serving import SERVE_WIRE_KEYS, _item_arr
+
+
+def _concat_requests(arrs):
+    """Concatenate request payloads along the batch axis — dense
+    feature arrays or wire request dicts (one round never mixes: a
+    given engine accepts exactly one of the two)."""
+    if isinstance(arrs[0], dict):
+        return {k: np.concatenate([a[k] for a in arrs]) for k in arrs[0]}
+    return np.concatenate(arrs)
 
 
 class BatchAggregator:
@@ -57,7 +74,7 @@ class BatchAggregator:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def infer(self, arr: np.ndarray) -> dict:
+    def infer(self, arr) -> dict:
         req = {"arr": arr, "event": threading.Event(), "result": None,
                "error": None}
         with self._cv:
@@ -83,14 +100,15 @@ class BatchAggregator:
                 return []
             deadline = time.monotonic() + self.max_wait
             while self._running:
-                have = sum(r["arr"].shape[0] for r in self._pending)
+                have = sum(_item_arr(r["arr"]).shape[0]
+                           for r in self._pending)
                 left = deadline - time.monotonic()
                 if have >= self.engine.batch_size or left <= 0:
                     break
                 self._cv.wait(timeout=left)
             batch, used = [], 0
             while self._pending:
-                n = self._pending[0]["arr"].shape[0]
+                n = _item_arr(self._pending[0]["arr"]).shape[0]
                 if used + n > self.engine.batch_size:
                     break
                 used += n
@@ -103,11 +121,11 @@ class BatchAggregator:
             if not batch:
                 continue
             try:
-                x = np.concatenate([r["arr"] for r in batch])
+                x = _concat_requests([r["arr"] for r in batch])
                 out = self.engine.infer_batch(x)
                 off = 0
                 for r in batch:
-                    n = r["arr"].shape[0]
+                    n = _item_arr(r["arr"]).shape[0]
                     r["result"] = {k: v[off: off + n]
                                    for k, v in out.items()}
                     off += n
@@ -170,39 +188,100 @@ def make_handler(engine, cfg, aggregator: Optional[BatchAggregator] = None):
                 self.end_headers()
                 self.wfile.write(body)
             elif self.path == "/v1/info":
+                plan = getattr(engine, "wire_plan", None)
                 self._json(200, {
                     "batch_size": engine.batch_size,
                     "img_size": [h, w],
                     "input_channels": c,
                     "decode_depth": engine.decode_depth,
                     "max_depth": float(cfg.data.max_depth),
+                    "wire": plan is not None,
+                    **({"wire_radar_cap": plan.radar_cap,
+                        "wire_radar_channels": plan.n_radar_ch}
+                       if plan is not None else {}),
                 })
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
+
+        def _wire_request(self, npz, plan):
+            """Validate + normalize an .npz wire body -> (request, err).
+            Shapes are pinned to the engine's plan so every request
+            hits the ONE compiled forward (caps are published in
+            /v1/info)."""
+            missing = [k for k in SERVE_WIRE_KEYS if k not in npz.files]
+            if missing:
+                return None, f"wire request missing keys {missing}"
+            img, idx, val = (npz[k] for k in SERVE_WIRE_KEYS)
+            if img.ndim == 3:
+                img, idx, val = img[None], idx[None], val[None]
+            b = img.shape[0]
+            if not (img.shape == (b, h, w, 3) and img.dtype == np.uint8
+                    and idx.shape == (b, plan.radar_cap)
+                    and val.shape == (b, plan.radar_cap,
+                                      plan.n_radar_ch)
+                    and np.issubdtype(idx.dtype, np.integer)
+                    and 0 < b <= engine.batch_size):
+                return None, (
+                    f"expected image_u8 uint8 [b<={engine.batch_size},"
+                    f" {h}, {w}, 3], radar_idx int [b, "
+                    f"{plan.radar_cap}], radar_val [b, "
+                    f"{plan.radar_cap}, {plan.n_radar_ch}] (or all "
+                    f"unbatched); got image {img.dtype} "
+                    f"{list(img.shape)}, idx {idx.dtype} "
+                    f"{list(idx.shape)}, val {list(val.shape)}"
+                )
+            return {
+                "image_u8": np.ascontiguousarray(img),
+                "radar_idx": np.ascontiguousarray(idx, np.int32),
+                "radar_val": np.ascontiguousarray(val, np.float32),
+            }, None
 
         def do_POST(self):  # noqa: N802
             if self.path != "/v1/depth":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
+            plan = getattr(engine, "wire_plan", None)
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 arr = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
             except Exception as e:  # malformed body -> client error
-                self._json(400, {"error": f"expected a .npy body: {e}"})
+                self._json(400, {"error": f"expected a .npy/.npz body: {e}"})
                 return
-            if arr.ndim == 3:
-                arr = arr[None]
-            if (arr.ndim != 4 or arr.shape[1:] != (h, w, c)
-                    or arr.shape[0] > engine.batch_size
-                    or arr.shape[0] == 0):
+            if isinstance(arr, np.lib.npyio.NpzFile):
+                if plan is None:
+                    self._json(400, {"error": (
+                        "this engine serves dense .npy requests; wire "
+                        ".npz bodies need `serve --wire` with "
+                        "data.wire_radar_cap set"
+                    )})
+                    return
+                arr, err = self._wire_request(arr, plan)
+                if err is not None:
+                    self._json(400, {"error": err})
+                    return
+            elif plan is not None:
                 self._json(400, {"error": (
-                    f"expected float32 [b<={engine.batch_size}, {h}, "
-                    f"{w}, {c}] (or unbatched [H, W, C]), got "
-                    f"{arr.dtype} {list(arr.shape)}"
+                    "this engine serves compact wire requests: POST an "
+                    ".npz with image_u8 [H, W, 3] uint8, radar_idx "
+                    f"[{plan.radar_cap}] int32, radar_val "
+                    f"[{plan.radar_cap}, {plan.n_radar_ch}] float32 "
+                    "(see /v1/info)"
                 )})
                 return
-            arr = np.ascontiguousarray(arr, np.float32)
+            else:
+                if arr.ndim == 3:
+                    arr = arr[None]
+                if (arr.ndim != 4 or arr.shape[1:] != (h, w, c)
+                        or arr.shape[0] > engine.batch_size
+                        or arr.shape[0] == 0):
+                    self._json(400, {"error": (
+                        f"expected float32 [b<={engine.batch_size}, {h}, "
+                        f"{w}, {c}] (or unbatched [H, W, C]), got "
+                        f"{arr.dtype} {list(arr.shape)}"
+                    )})
+                    return
+                arr = np.ascontiguousarray(arr, np.float32)
             if aggregator is not None:
                 try:
                     out = aggregator.infer(arr)

@@ -160,6 +160,11 @@ def make_eval_step(cfg: ExperimentConfig, model) -> Callable:
     never sees duplicates, so neither may ours."""
 
     def eval_step(params, batch):
+        if is_wire_micro(batch):
+            # compact wire batches decode on device (data/wire.py) —
+            # the val pass sees the same bit-exact dense contract the
+            # train step does
+            batch = decode_wire_micro(batch)
         pred = model.apply(
             {"params": params}, batch["features"], deterministic=True
         )

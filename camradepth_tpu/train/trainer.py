@@ -279,7 +279,8 @@ class Trainer:
             )
         else:
             self.loaders = loaders or make_loaders(
-                cfg.data, cfg.train.batch_size, wire=wire_ok
+                cfg.data, cfg.train.batch_size, wire=wire_ok,
+                wire_eval=wire_ok,
             )
 
         if self.loaders.get("train") is None:

@@ -7,7 +7,8 @@ import jax
 from camradepth_tpu.config import DataConfig, tiny_test_config
 from camradepth_tpu.data import synthetic
 from camradepth_tpu.data.pipeline import make_loaders
-from camradepth_tpu.evaluation.harness import evaluate, format_report
+from camradepth_tpu.evaluation.harness import (TIMING_KEYS, evaluate,
+                                               format_report)
 from camradepth_tpu.models.camradepth import CamRaDepth
 
 
@@ -35,11 +36,8 @@ class TestEvaluate:
         inline = evaluate(cfg, model, params,
                           make_loaders(cfg.data, batch_size=4)["test"],
                           prefetch=0)
-        timing_keys = ("wall_s", "time_per_frame_s",
-                       "frames_per_sec_end_to_end",
-                       "frames_per_sec_steady", "time_per_frame_steady_s")
         for k, v in report.items():
-            if k not in timing_keys:
+            if k not in TIMING_KEYS:
                 np.testing.assert_array_equal(v, inline[k], err_msg=k)
         for key in ("rmse_100", "mae_100", "rel_100", "rmse_50", "mae_50",
                     "rel_50", "rmse_edge", "rmse_sunny", "frames",

@@ -365,9 +365,10 @@ def test_cli_test_evaluates_artifact(tmp_path):
         live = json.loads(live_json.read_text())
         got = json.loads(art_json.read_text())
         assert got["frames"] == live["frames"] == 3.0
+        from camradepth_tpu.evaluation.harness import TIMING_KEYS
+
         for k, v in live.items():
-            if k in ("wall_s", "time_per_frame_s",
-                     "frames_per_sec_end_to_end"):
+            if k in TIMING_KEYS:
                 continue
             np.testing.assert_allclose(
                 got[k], v, rtol=1e-4, atol=1e-5, equal_nan=True,

@@ -323,3 +323,150 @@ def test_cli_serve_requires_checkpoint(capsys):
     rc = cli.main(["serve", "--preset", "base"])
     assert rc == 2
     assert "--checkpoint" in capsys.readouterr().err
+
+
+class TestWireEngine:
+    """Compact wire serving: engines built with a WirePlan take
+    {image_u8, radar_idx, radar_val} request dicts and must serve
+    EXACTLY the dense engine's outputs (the on-device decode is
+    bit-exact, tests/test_wire.py)."""
+
+    def _loaders(self, tmp_path, bs=2, n=5):
+        import dataclasses
+
+        from camradepth_tpu.data import synthetic
+        from camradepth_tpu.data.pipeline import make_loaders
+
+        cfg = tiny_test_config()
+        split = synthetic.generate(tmp_path / "data", num_frames=n,
+                                   hw=cfg.model.img_size, seed=21)
+        cfg = cfg.replace(
+            data=dataclasses.replace(
+                cfg.data, split_path=str(split),
+                image_dimension=cfg.model.img_size,
+                train_val_split=(0, 0), num_workers=1,
+            )
+        )
+        lw = make_loaders(cfg.data, batch_size=bs, wire_eval=True)
+        ld = make_loaders(cfg.data, batch_size=bs)
+        return cfg, lw["test"], ld["test"]
+
+    def test_wire_engine_matches_dense_engine(self, tmp_path):
+        from camradepth_tpu.serving import SERVE_WIRE_KEYS, DepthEngine
+
+        cfg, lw, ld = self._loaders(tmp_path)
+        plan = lw.frames.wire_plan
+        assert plan is not None
+        model = CamRaDepth(cfg.model)
+        h, w = cfg.model.img_size
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, h, w, cfg.model.input_channels)),
+            deterministic=True,
+        )["params"]
+        dense = DepthEngine(cfg, model, params, batch_size=2)
+        wired = DepthEngine(cfg, model, params, batch_size=2,
+                            wire_plan=plan)
+
+        def wire_items(per_frame=False):
+            for b in lw:
+                valid = np.asarray(b["valid"]).astype(bool)
+                item = {k: np.asarray(b[k])[valid]
+                        for k in SERVE_WIRE_KEYS}
+                if per_frame:
+                    n = item["image_u8"].shape[0]
+                    for i in range(n):
+                        yield {k: v[i] for k, v in item.items()}
+                else:
+                    yield item
+
+        def dense_items():
+            for b in ld:
+                valid = np.asarray(b["valid"]).astype(bool)
+                yield np.asarray(b["features"])[valid]
+
+        want = list(dense.infer_stream(dense_items()))
+        got = list(wired.infer_stream(wire_items()))
+        assert len(got) == len(want) == 5
+        for g, wnt in zip(got, want):
+            assert g.keys() == wnt.keys()
+            for k in g:
+                np.testing.assert_array_equal(g[k], wnt[k], err_msg=k)
+        # per-frame dict items restack through the batcher identically
+        # (covers the ragged tail: 5 frames at batch 2)
+        got_pf = list(wired.infer_stream(wire_items(per_frame=True)))
+        for g, wnt in zip(got_pf, want):
+            for k in g:
+                np.testing.assert_array_equal(g[k], wnt[k], err_msg=k)
+
+    def test_wire_engine_refuses_spatial_sharding(self, tmp_path):
+        import pytest
+
+        from camradepth_tpu.data.wire import WirePlan
+        from camradepth_tpu.serving import DepthEngine
+
+        cfg = tiny_test_config()
+        model = CamRaDepth(cfg.model)
+        plan = WirePlan(radar_cap=256, gt_cap=0, n_radar_ch=4)
+        with pytest.raises(ValueError, match="spatial"):
+            DepthEngine(cfg, model, None, wire_plan=plan,
+                        spatial_axis="sp")
+        with pytest.raises(ValueError, match="channels"):
+            DepthEngine(cfg, model, None,
+                        wire_plan=WirePlan(256, 0, n_radar_ch=2))
+
+
+def test_cli_serve_wire_matches_dense(tmp_path):
+    """`serve --wire auto` must write byte-identical depth/seg artifacts
+    to the dense serve (the loader ships compact wire batches, the
+    engine decodes on device)."""
+    import contextlib
+    import dataclasses
+    import io
+    import json
+    import unittest.mock as mock
+
+    from camradepth_tpu import cli
+    from camradepth_tpu.data import synthetic
+    from camradepth_tpu.utils import checkpoint as ck
+
+    cfg = tiny_test_config()
+    split = synthetic.generate(tmp_path / "data", num_frames=5,
+                               hw=cfg.model.img_size, seed=13)
+    base_data = dataclasses.replace(
+        cfg.data, split_path=str(split),
+        image_dimension=cfg.model.img_size,
+        train_val_split=(2, 0), num_workers=1,
+    )
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, cfg.model.input_channels)),
+        deterministic=True,
+    )["params"]
+    ckpt = ck.save_checkpoint(tmp_path / "ckpt", {"params": params},
+                              epoch=0, eval_loss=0.5)
+
+    outs = {}
+    for mode in ("off", "on"):
+        cfg_m = cfg.replace(
+            data=dataclasses.replace(base_data, wire_format=mode)
+        )
+        out = tmp_path / f"served_{mode}"
+        with mock.patch.object(cli, "_build_config", lambda a, c=cfg_m: c):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = cli.main([
+                    "serve", "--preset", "base",
+                    "--checkpoint", str(ckpt),
+                    "--out", str(out), "--serve-batch", "2",
+                ])
+        assert rc == 0, buf.getvalue()[-2000:]
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["frames"] == 3  # 5 frames - (2 train, 0 val)
+        outs[mode] = out
+    for i in range(3):
+        a = np.load(outs["off"] / f"{i:05d}_depth.npy")
+        b = np.load(outs["on"] / f"{i:05d}_depth.npy")
+        np.testing.assert_array_equal(a, b)

@@ -194,3 +194,121 @@ def test_input_validation(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(base + "/nope", timeout=30)
     assert e.value.code == 404
+
+
+# ---------------------------------------------------------------------------
+# compact wire serving over HTTP (npz request bodies, decoded on device)
+
+@pytest.fixture(scope="module")
+def wire_server():
+    from camradepth_tpu.data.wire import WirePlan
+
+    cfg = tiny_test_config()
+    model = CamRaDepth(cfg.model)
+    h, w = cfg.model.img_size
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, h, w, cfg.model.input_channels)),
+        deterministic=True,
+    )["params"]
+    plan = WirePlan(radar_cap=256, gt_cap=0, n_radar_ch=4)
+    engine = DepthEngine(cfg, model, params, batch_size=2,
+                         wire_plan=plan)
+    srv, _ = start_server(engine, cfg, host="127.0.0.1", port=0)
+    yield cfg, engine, plan, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post_npz(url, **arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def _wire_request(cfg, plan, seed=0):
+    from tests.test_wire import _frame_arrays
+
+    from camradepth_tpu.data import wire
+
+    h, w = cfg.model.img_size
+    arrays = _frame_arrays(np.random.default_rng(seed), h=h, w=w)
+    enc = wire.encode_frame_wire(arrays, cfg.data, plan)
+    return {k: enc[k] for k in ("image_u8", "radar_idx", "radar_val")}
+
+
+def test_wire_info_and_inference(wire_server):
+    cfg, engine, plan, base = wire_server
+    status, info = _get(base + "/v1/info")
+    assert status == 200 and info["wire"] is True
+    assert info["wire_radar_cap"] == plan.radar_cap
+    assert info["wire_radar_channels"] == plan.n_radar_ch
+
+    # unbatched wire request -> batch-1 response, byte-equal to the
+    # in-process wire engine (on-device decode parity is pinned in
+    # tests/test_wire.py; this pins the HTTP plumbing)
+    req = _wire_request(cfg, plan, seed=3)
+    status, body = _post_npz(base + "/v1/depth", **req)
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    want = engine.infer_batch({k: v[None] for k, v in req.items()})
+    np.testing.assert_array_equal(out["depth"], want["depth"])
+
+    # batched [2, ...] request
+    req2 = _wire_request(cfg, plan, seed=4)
+    batched = {k: np.stack([req[k], req2[k]]) for k in req}
+    status, body = _post_npz(base + "/v1/depth", **batched)
+    assert status == 200
+    out2 = np.load(io.BytesIO(body))
+    assert out2["depth"].shape[0] == 2
+    np.testing.assert_array_equal(out2["depth"][0], out["depth"][0])
+
+
+def test_wire_request_validation(wire_server):
+    cfg, engine, plan, base = wire_server
+    h, w = cfg.model.img_size
+
+    def post_expect_400(**arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        req = urllib.request.Request(base + "/v1/depth",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        return json.loads(e.value.read())["error"]
+
+    good = _wire_request(cfg, plan)
+    err = post_expect_400(**{k: v for k, v in good.items()
+                             if k != "radar_val"})
+    assert "radar_val" in err
+    bad = dict(good, radar_idx=good["radar_idx"][:128])  # wrong cap
+    assert "radar_idx" in post_expect_400(**bad)
+    bad = dict(good, image_u8=good["image_u8"].astype(np.float32))
+    assert "uint8" in post_expect_400(**bad)
+
+    # a dense .npy against a wire engine is a clear client error
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((h, w, 7), np.float32))
+    req = urllib.request.Request(base + "/v1/depth", data=buf.getvalue(),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert "wire" in json.loads(e.value.read())["error"]
+
+
+def test_wire_npz_against_dense_engine_is_400(server):
+    cfg, engine, base = server
+    h, w = cfg.model.img_size
+    buf = io.BytesIO()
+    np.savez(buf, image_u8=np.zeros((h, w, 3), np.uint8),
+             radar_idx=np.zeros((16,), np.int32),
+             radar_val=np.zeros((16, 4), np.float32))
+    req = urllib.request.Request(base + "/v1/depth", data=buf.getvalue(),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert "dense" in json.loads(e.value.read())["error"]

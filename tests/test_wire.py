@@ -292,3 +292,68 @@ class TestTrainerIntegration:
         )
         with pytest.raises(ValueError, match="wire_format=on requires"):
             Trainer(cfg)
+
+
+class TestEvalWire:
+    """Wire inference path: val/test loaders ship compact wire batches
+    (make_loaders wire_eval=True), the harness/eval steps decode on
+    device — metric outputs must be IDENTICAL to the dense path (the
+    decode is bit-exact and the metric math runs on the same values)."""
+
+    def _model_and_cfg(self, tmp_path, n_frames=5):
+        import jax
+        import jax.numpy as jnp
+
+        from camradepth_tpu.models.camradepth import CamRaDepth
+
+        split = synthetic.generate(tmp_path / "d", num_frames=n_frames,
+                                   hw=(64, 128), seed=9, rain_every=3)
+        cfg = tiny_test_config()
+        cfg = cfg.replace(
+            data=DataConfig(image_dimension=(64, 128),
+                            split_path=str(split),
+                            train_val_split=(0, 2), num_workers=2),
+        )
+        model = CamRaDepth(cfg.model)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 64, 128, 7)), deterministic=True,
+        )["params"]
+        return cfg, model, params
+
+    def test_evaluate_wire_equals_dense(self, tmp_path):
+        from camradepth_tpu.evaluation.harness import TIMING_KEYS, evaluate
+
+        cfg, model, params = self._model_and_cfg(tmp_path)
+        lw = make_loaders(cfg.data, batch_size=2, wire_eval=True)
+        assert "image_u8" in next(iter(lw["test"]))  # wire engaged
+        rw = evaluate(cfg, model, params, lw["test"])
+        rd = evaluate(cfg, model, params,
+                      make_loaders(cfg.data, batch_size=2)["test"])
+        assert set(rw) == set(rd)
+        for k, v in rd.items():
+            if k not in TIMING_KEYS:
+                np.testing.assert_array_equal(rw[k], v, err_msg=k)
+
+    def test_eval_step_wire_equals_dense(self, tmp_path):
+        """The Trainer's val pass (make_eval_step) must decode wire val
+        batches to the same per-frame metrics as dense ones."""
+        import jax
+
+        from camradepth_tpu.train.step import make_eval_step
+
+        cfg, model, params = self._model_and_cfg(tmp_path)
+        step = jax.jit(make_eval_step(cfg, model))
+        keys = ("features", "gt_depth", "seg", "seg_inter") + wire.WIRE_KEYS
+        bw = {k: v for k, v in next(iter(
+            make_loaders(cfg.data, 2, wire_eval=True)["val"]
+        )).items() if k in keys}
+        bd = {k: v for k, v in next(iter(
+            make_loaders(cfg.data, 2)["val"]
+        )).items() if k in keys}
+        assert "image_u8" in bw and "features" in bd
+        mw = jax.device_get(step(params, bw))
+        md = jax.device_get(step(params, bd))
+        assert set(mw) == set(md)
+        for k in md:
+            np.testing.assert_array_equal(mw[k], md[k], err_msg=k)

@@ -67,6 +67,16 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--inflight", default="1,2",
                     help="comma-separated in-flight depths to compare")
+    ap.add_argument("--wire", action="store_true",
+                    help="ALSO measure compact wire serving (uint8 "
+                         "image + COO radar decoded on device, "
+                         "serving.py wire_plan): same stream shape, "
+                         "~8x fewer H2D bytes/frame — the measured "
+                         "value of the wire codec on the serving path")
+    ap.add_argument("--radar-cap", type=int, default=4096,
+                    help="wire radar point cap per frame (the flagship "
+                         "plan probes the dataset; the bench picks a "
+                         "representative cap, ~1.5%% of pixels)")
     ap.add_argument("--concurrent", type=int, default=0,
                     help="ALSO measure cross-request micro-batching: N "
                          "client threads each stream batch-1 requests "
@@ -102,6 +112,55 @@ def main(argv=None) -> int:
                         "tpu_decoder" if args.tpu_decoder else
                         cfg.name),
         }))
+
+    if args.wire:
+        from camradepth_tpu.data.wire import WirePlan
+        from camradepth_tpu.serving import DepthEngine
+
+        plan = WirePlan(radar_cap=args.radar_cap, gt_cap=0,
+                        n_radar_ch=c - 3)
+        wire_engine = DepthEngine(cfg, engine.model, engine.params,
+                                  batch_size=args.batch, wire_plan=plan)
+        npts = max(1, args.radar_cap // 4)  # plans pad ~4x over density
+
+        def wire_frame(i):
+            r = np.random.default_rng(i)
+            idx = np.zeros(args.radar_cap, np.int32)
+            idx[:npts] = r.choice(h * w, size=npts, replace=False)
+            val = np.zeros((args.radar_cap, c - 3), np.float32)
+            val[:npts] = r.random((npts, c - 3), dtype=np.float32)
+            return {
+                "image_u8": r.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                "radar_idx": idx,
+                "radar_val": val,
+            }
+
+        wire_frames = [wire_frame(i) for i in range(args.frames)]
+        wire_bytes = sum(v.nbytes for v in wire_frames[0].values())
+        dense_bytes = frames[0].nbytes
+        wire_engine.warmup()
+        for inflight in (int(s) for s in args.inflight.split(",")):
+            wire_engine.reset_stats()
+            t0 = time.perf_counter()
+            n = sum(1 for _ in wire_engine.infer_stream(
+                iter(wire_frames), inflight=inflight))
+            wall = time.perf_counter() - t0
+            stats = wire_engine.stats()
+            print(json.dumps({
+                "mode": "wire",
+                "inflight": inflight,
+                "frames": n,
+                "batch": args.batch,
+                "wall_s": round(wall, 4),
+                "fps_end_to_end": round(n / wall, 2),
+                "batch_ms_p50": round(stats.get("batch_ms_p50", 0.0), 2),
+                "batch_ms_p95": round(stats.get("batch_ms_p95", 0.0), 2),
+                "h2d_bytes_per_frame": wire_bytes,
+                "dense_bytes_per_frame": dense_bytes,
+                "variant": ("tiny" if args.tiny else
+                            "tpu_decoder" if args.tpu_decoder else
+                            cfg.name),
+            }))
 
     if args.concurrent > 0:
         import threading
