@@ -36,6 +36,7 @@ def summarize_junitxml(path: Path) -> dict:
     duration = 0.0
     by_file: dict = {}
     non_passing = []
+    failure_details: dict = {}
     for s in suites:
         total += int(s.get("tests", 0))
         failures += int(s.get("failures", 0))
@@ -55,9 +56,17 @@ def summarize_junitxml(path: Path) -> dict:
                 rec["time_s"] + float(case.get("time", 0.0)), 2
             )
             nodeid = f"{case.get('classname')}::{case.get('name')}"
-            if case.find("failure") is not None or case.find("error") is not None:
+            fail_el = case.find("failure")
+            if fail_el is None:
+                fail_el = case.find("error")
+            if fail_el is not None:
                 rec["failed"] += 1
                 non_passing.append(nodeid)
+                # Keep the assertion message + traceback tail so a
+                # committed artifact is diagnosable without a re-run
+                # (the junitxml itself is a tempfile and gets deleted).
+                text = (fail_el.text or fail_el.get("message") or "").strip()
+                failure_details[nodeid] = text[-4000:]
             elif case.find("skipped") is not None:
                 rec["skipped"] += 1
                 non_passing.append(f"SKIP {nodeid}")
@@ -70,6 +79,7 @@ def summarize_junitxml(path: Path) -> dict:
         "duration_s": round(duration, 1),
         "by_file": dict(sorted(by_file.items())),
         "non_passing": non_passing,
+        **({"failure_details": failure_details} if failure_details else {}),
     }
 
 
