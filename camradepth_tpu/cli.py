@@ -722,9 +722,19 @@ def cmd_serve(args) -> int:
             "spatially-sharded serving — use wire auto or off"
         )
     if wire_want and http:
-        if cfg.data.wire_radar_cap:
-            from camradepth_tpu.data.wire import WirePlan
+        from camradepth_tpu.data.wire import WirePlan, wire_supported
 
+        if not wire_supported(cfg.data):
+            # im_uv / sparse_lidar configs carry dense non-radar feature
+            # channels the COO request can't represent — a hand-built
+            # plan here would scatter radar values into those slots
+            if cfg.data.wire_format == "on":
+                raise UserError(
+                    "data.wire_format=on is unsupported for this channel "
+                    "config (im_uv / sparse_lidar need the dense request "
+                    "format) — use wire auto or off"
+                )
+        elif cfg.data.wire_radar_cap:
             wire_plan = WirePlan(
                 radar_cap=cfg.data.wire_radar_cap, gt_cap=0,
                 n_radar_ch=cfg.model.input_channels - 3,

@@ -44,6 +44,14 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+class ConfigError(ValueError):
+    """A user-facing configuration error raised by library code (bad
+    field value / unsupported combination discovered at construction
+    time, e.g. Trainer wire-format checks). The CLI prints these as a
+    one-line exit-2 user error, same as its own UserError; internal
+    failures must NOT use this class."""
+
+
 @dataclass(frozen=True)
 class ModelConfig:
     """Architecture hyper-parameters (reference CamRaDepth.py:20-57)."""

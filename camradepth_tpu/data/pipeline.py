@@ -223,6 +223,25 @@ def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
     tr, va, te = split_ranges(len(rows), cfg.effective_train_val_split)
     workers = cfg.num_workers if num_workers is None else num_workers
 
+    # ONE shared wire plan for every compacted loader: probing per
+    # split would triple the startup artifact reads AND derive
+    # divergent point caps (train/val/test would compile separate wire
+    # shapes, and a denser val split could overflow where train planned
+    # fine). The probe runs over the full row table, so the caps are
+    # identical for all splits and all processes.
+    shared_plan = None
+    if (wire or wire_eval) and len(rows):
+        from camradepth_tpu.data.wire import plan_wire
+
+        shared_plan = plan_wire(rows, cfg)  # None -> dense fallback
+        if shared_plan is None and cfg.wire_format == "on":
+            raise ValueError(
+                "data.wire_format=on but the channel config / "
+                "dataset is unsupported by the wire codec "
+                "(sparse_lidar, im_uv, non-uint8 images, or "
+                "radar too dense) — use wire_format=auto or off"
+            )
+
     def mk(r, shuffle, bs, drop, shard=False, wire_loader=False):
         if len(r) == 0:
             return None
@@ -233,18 +252,7 @@ def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
             if n == 0:
                 return None
             sel = sel[:n][pid::pc]
-        plan = None
-        if wire_loader:
-            from camradepth_tpu.data.wire import plan_wire
-
-            plan = plan_wire(sel, cfg)  # None -> dense fallback
-            if plan is None and cfg.wire_format == "on":
-                raise ValueError(
-                    "data.wire_format=on but the channel config / "
-                    "dataset is unsupported by the wire codec "
-                    "(sparse_lidar, im_uv, non-uint8 images, or "
-                    "radar too dense) — use wire_format=auto or off"
-                )
+        plan = shared_plan if wire_loader else None
         frames = NuscenesFrames(sel, cfg, seed=seed, wire_plan=plan)
         return BatchLoader(
             frames, bs, shuffle=shuffle, num_workers=workers,

@@ -120,7 +120,12 @@ def plan_wire(
         n_radar_ch = len(groups)
         mask = np.zeros((h, w), bool)
         for s, _ in groups:
-            mask |= np.asarray(s[:h, :w]) != 0
+            if np.asarray(s).shape[:2] != (h, w):
+                # same contract encode_frame_wire enforces (and the
+                # dense channels.f2d path): a plan must never accept
+                # data the encoder will reject mid-epoch
+                return None
+            mask |= np.asarray(s) != 0
         max_radar = max(max_radar, int(mask.sum()))
         enc = ch.encode_inverse_depth(
             np.asarray(arrays["gt"][..., 0]), cfg.max_depth
@@ -166,18 +171,22 @@ def encode_frame_wire(
     the source dtype then cast f32, exactly like the dense path."""
     h, w = cfg.image_dimension
     img = arrays["image"]
-    assert img.dtype == np.uint8 and img.shape == (h, w, 3), (
-        "wire codec requires the resized uint8 BGR image"
-    )
+    if img.dtype != np.uint8 or img.shape != (h, w, 3):
+        raise ValueError(
+            f"wire codec requires the resized uint8 BGR image; got "
+            f"{img.dtype} {img.shape} vs {(h, w, 3)}"
+        )
 
     # sources must be exactly (h, w), same contract as the dense paths
     # (channels.f2d rejects anything else) — assert so mask indices and
     # gathered values can never come from differently-shaped views
     groups = [(np.asarray(s), fn) for s, fn in _radar_sources(arrays, cfg)]
     for s, _ in groups:
-        assert s.shape[:2] == (h, w), (
-            f"radar source shape {s.shape} != image dimension {(h, w)}"
-        )
+        if s.shape[:2] != (h, w):
+            raise ValueError(
+                f"radar source shape {s.shape} != image dimension "
+                f"{(h, w)}"
+            )
     mask = np.zeros((h, w), bool)
     for s, _ in groups:
         mask |= s != 0

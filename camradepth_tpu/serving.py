@@ -77,14 +77,14 @@ def make_serving_forward_wire(cfg: ExperimentConfig, model,
     return fwd
 
 
-def _item_arr(x):
+def item_arr(x):
     """The leading-dim-carrying array of a stream item (dense feature
     stack, or the image leaf of a compact wire request dict)."""
     return x["image_u8"] if isinstance(x, dict) else x
 
 
 def _item_rows(x):
-    n = _item_arr(x).shape[0]
+    n = item_arr(x).shape[0]
     if isinstance(x, dict):
         return [{k: v[i] for k, v in x.items()} for i in range(n)]
     return list(x)
@@ -229,7 +229,7 @@ class DepthEngine:
                     "request dicts need a wire engine (serving.py)"
                 )
             features = {k: features[k] for k in SERVE_WIRE_KEYS}
-        n = _item_arr(features).shape[0]
+        n = item_arr(features).shape[0]
         if n < self.batch_size:
             k = self.batch_size - n
 
@@ -301,12 +301,12 @@ class DepthEngine:
                              if k in SERVE_WIRE_KEYS}
                     else:
                         f = np.asarray(f)
-                    if _item_arr(f).ndim == 4:  # pre-batched
+                    if item_arr(f).ndim == 4:  # pre-batched
                         # oversize items (a loader batched larger than
                         # the engine, e.g. a fixed-batch artifact whose
                         # baked size is smaller than --serve-batch) fall
                         # through to the re-chunk path below
-                        nb = _item_arr(f).shape[0]
+                        nb = item_arr(f).shape[0]
                         if not buf and nb in (self.batch_size, 0):
                             if nb:
                                 q_in.put(f)  # fast path: no copies

@@ -39,7 +39,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from camradepth_tpu.serving import SERVE_WIRE_KEYS, _item_arr
+from camradepth_tpu.serving import SERVE_WIRE_KEYS, item_arr
 
 
 def _concat_requests(arrs):
@@ -100,7 +100,7 @@ class BatchAggregator:
                 return []
             deadline = time.monotonic() + self.max_wait
             while self._running:
-                have = sum(_item_arr(r["arr"]).shape[0]
+                have = sum(item_arr(r["arr"]).shape[0]
                            for r in self._pending)
                 left = deadline - time.monotonic()
                 if have >= self.engine.batch_size or left <= 0:
@@ -108,7 +108,7 @@ class BatchAggregator:
                 self._cv.wait(timeout=left)
             batch, used = [], 0
             while self._pending:
-                n = _item_arr(self._pending[0]["arr"]).shape[0]
+                n = item_arr(self._pending[0]["arr"]).shape[0]
                 if used + n > self.engine.batch_size:
                     break
                 used += n
@@ -125,7 +125,7 @@ class BatchAggregator:
                 out = self.engine.infer_batch(x)
                 off = 0
                 for r in batch:
-                    n = _item_arr(r["arr"]).shape[0]
+                    n = item_arr(r["arr"]).shape[0]
                     r["result"] = {k: v[off: off + n]
                                    for k, v in out.items()}
                     off += n
@@ -229,6 +229,15 @@ def make_handler(engine, cfg, aggregator: Optional[BatchAggregator] = None):
                     f"unbatched); got image {img.dtype} "
                     f"{list(img.shape)}, idx {idx.dtype} "
                     f"{list(idx.shape)}, val {list(val.shape)}"
+                )
+            if idx.min() < 0 or idx.max() >= h * w:
+                # out-of-range flat indices would be silently dropped
+                # (>= h*w) or wrapped (negative) by the device scatter —
+                # wrong-geometry clients must get a 400, not wrong depth
+                return None, (
+                    f"radar_idx values must be flat pixel indices in "
+                    f"[0, {h * w}) for the {h}x{w} geometry; got range "
+                    f"[{int(idx.min())}, {int(idx.max())}]"
                 )
             return {
                 "image_u8": np.ascontiguousarray(img),
