@@ -735,9 +735,31 @@ def cmd_serve(args) -> int:
                     "format) — use wire auto or off"
                 )
         elif cfg.data.wire_radar_cap:
+            from camradepth_tpu.data.wire import radar_channel_count
+
+            n_radar_ch = radar_channel_count(cfg.data)
+            # rgb-only presets (input_channels=3) have no radar slots —
+            # a zero-channel wire engine would be degenerate; and an
+            # inconsistent model/data pairing must not silently pick
+            # the wrong channel count
+            if cfg.model.input_channels <= 3:
+                raise UserError(
+                    "data.wire_radar_cap set but the model takes no "
+                    f"radar channels (input_channels="
+                    f"{cfg.model.input_channels}) — wire serving needs "
+                    "a camera+radar preset"
+                )
+            if n_radar_ch != cfg.model.input_channels - 3:
+                raise UserError(
+                    f"model/data channel mismatch: the data config "
+                    f"carries {n_radar_ch} radar channels but the model "
+                    f"expects {cfg.model.input_channels - 3} "
+                    f"(input_channels={cfg.model.input_channels}) — "
+                    "fix the preset/--set pairing before wire serving"
+                )
             wire_plan = WirePlan(
                 radar_cap=cfg.data.wire_radar_cap, gt_cap=0,
-                n_radar_ch=cfg.model.input_channels - 3,
+                n_radar_ch=n_radar_ch,
             )
         elif cfg.data.wire_format == "on":
             raise UserError(
@@ -1397,13 +1419,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)
 
+    from camradepth_tpu.config import ConfigError
+
     args = parser.parse_args(argv)
     try:
         return args.fn(args)
-    except UserError as e:
+    except (UserError, ConfigError) as e:
         # config-building errors (bad --set path/value, preset invariant
-        # violations, strict-export mismatches) are user errors, not
-        # crashes. Anything else propagates with its traceback — a
+        # violations, strict-export mismatches) and library-raised
+        # ConfigErrors (unsupported field combinations discovered at
+        # construction time, e.g. wire-format checks) are user errors,
+        # not crashes. Anything else propagates with its traceback — a
         # blanket ValueError catch would mask internal numpy/JAX shape
         # errors deep in training as "bad flag" exits.
         print(f"error: {e}", file=sys.stderr)

@@ -226,16 +226,19 @@ def make_loaders(cfg: DataConfig, batch_size: int, split_path=None,
     # ONE shared wire plan for every compacted loader: probing per
     # split would triple the startup artifact reads AND derive
     # divergent point caps (train/val/test would compile separate wire
-    # shapes, and a denser val split could overflow where train planned
-    # fine). The probe runs over the full row table, so the caps are
-    # identical for all splits and all processes.
+    # shapes). The plan OBJECT is computed once — plan_wire samples the
+    # head of the row table (all train rows) — and shared, so the caps
+    # are identical for every split and process by construction; a
+    # denser val/test frame is caught at encode time
+    # (WireOverflowError), mitigated by the plan's 4x+64 margin.
     shared_plan = None
     if (wire or wire_eval) and len(rows):
+        from camradepth_tpu.config import ConfigError
         from camradepth_tpu.data.wire import plan_wire
 
         shared_plan = plan_wire(rows, cfg)  # None -> dense fallback
         if shared_plan is None and cfg.wire_format == "on":
-            raise ValueError(
+            raise ConfigError(
                 "data.wire_format=on but the channel config / "
                 "dataset is unsupported by the wire codec "
                 "(sparse_lidar, im_uv, non-uint8 images, or "

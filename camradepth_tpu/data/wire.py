@@ -95,6 +95,16 @@ def wire_supported(cfg: DataConfig) -> bool:
     return not cfg.sparse_lidar and not cfg.im_uv
 
 
+def radar_channel_count(cfg: DataConfig) -> int:
+    """Number of sparse radar channels the wire codec carries for this
+    DataConfig — the cfg-only mirror of ``_radar_sources`` (which needs
+    the loaded arrays). Used by consumers that must build a WirePlan
+    without a dataset to probe (HTTP serving)."""
+    if cfg.filtered_radar:
+        return 1
+    return 1 + (2 if cfg.sparse_depth_uv else 0) + (1 if cfg.rad_vel else 0)
+
+
 def plan_wire(
     frames_rows: Sequence, cfg: DataConfig, sample_n: int = 4
 ) -> Optional[WirePlan]:

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from camradepth_tpu.config import (
+    ConfigError,
     ExperimentConfig,
     MeshConfig,
     num_epochs_for_steps,
@@ -125,7 +126,7 @@ def _auto_mesh(cfg: ExperimentConfig) -> Optional[object]:
     if data * fsdp * sp == 1:
         return None
     if sp > 1 and data * fsdp > 1:
-        raise ValueError(
+        raise ConfigError(
             "spatial_parallel cannot be combined with data/fsdp axes in "
             "TRAINING: XLA GSPMD miscomputes conv gradients when "
             "spatially-sharded activations are partially replicated "
@@ -133,24 +134,24 @@ def _auto_mesh(cfg: ExperimentConfig) -> Optional[object]:
             "parallel/gradcheck.py). Use sp for inference, or alone."
         )
     if sp > 2:
-        raise ValueError(
+        raise ConfigError(
             "spatial_parallel > 2 in TRAINING produces wrong conv "
             "gradients under current XLA (gradcheck-verified safe: sp=2 "
             "sole axis). Inference supports any sp."
         )
     if cfg.train.batch_size % (data * fsdp):
-        raise ValueError(
+        raise ConfigError(
             f"batch_size {cfg.train.batch_size} is not divisible by "
             f"data_parallel*fsdp={data}x{fsdp} (batches shard jointly "
             "over both axes)"
         )
     if data * fsdp * sp > n:
-        raise ValueError(
+        raise ConfigError(
             f"mesh {data}x{fsdp}x{sp} needs {data * fsdp * sp} devices, "
             f"have {n}"
         )
     if sp > 1 and cfg.model.img_size[0] % sp:
-        raise ValueError(
+        raise ConfigError(
             f"image height {cfg.model.img_size[0]} is not divisible by "
             f"spatial_parallel={sp}"
         )
@@ -249,7 +250,7 @@ class Trainer:
         # falls back; "on" insists.
         want_wire = cfg.data.wire_format
         if want_wire not in ("off", "auto", "on"):
-            raise ValueError(
+            raise ConfigError(
                 f"data.wire_format must be off|auto|on, got {want_wire!r}"
             )
         wire_ok = (
@@ -261,7 +262,7 @@ class Trainer:
             )
         )
         if want_wire == "on" and not wire_ok:
-            raise ValueError(
+            raise ConfigError(
                 "data.wire_format=on requires a single-process run "
                 "without sp sharding (the on-device scatter decode is "
                 "frame-local) — use wire_format=auto or off"

@@ -357,3 +357,63 @@ class TestEvalWire:
         assert set(mw) == set(md)
         for k in md:
             np.testing.assert_array_equal(mw[k], md[k], err_msg=k)
+
+
+class TestAdviceR4Fixes:
+    """Regression tests for the round-4 advisor findings."""
+
+    @pytest.mark.parametrize("filtered", [False, True])
+    @pytest.mark.parametrize("uv", [False, True])
+    @pytest.mark.parametrize("vel", [False, True])
+    def test_radar_channel_count_mirrors_sources(self, filtered, uv, vel):
+        """radar_channel_count (cfg-only) must agree with the loaded-
+        array _radar_sources list for every channel combination."""
+        rng = np.random.default_rng(11)
+        arrays = _frame_arrays(rng)
+        cfg = DataConfig(image_dimension=(32, 48), filtered_radar=filtered,
+                         sparse_depth_uv=uv, rad_vel=vel)
+        assert wire.radar_channel_count(cfg) == len(
+            wire._radar_sources(arrays, cfg))
+
+    def test_serve_wire_rejects_rgb_only(self, capsys):
+        """--set data.wire_radar_cap on an rgb preset must be a clear
+        user error, not a degenerate 0-radar-channel wire engine."""
+        from camradepth_tpu import cli
+
+        rc = cli.main([
+            "serve", "--preset", "base_rgb", "--checkpoint", "/nonexistent",
+            "--http-port", "1", "--set", "data.wire_format=auto",
+            "--set", "data.wire_radar_cap=64",
+        ])
+        assert rc == 2
+        assert "no radar channels" in capsys.readouterr().err
+
+    def test_serve_wire_rejects_channel_mismatch(self, capsys):
+        """An inconsistent model/data pairing (input_channels says 2
+        radar slots, DataConfig carries 4) must be rejected, not served
+        with the wrong channel count."""
+        from camradepth_tpu import cli
+
+        rc = cli.main([
+            "serve", "--preset", "base", "--checkpoint", "/nonexistent",
+            "--http-port", "1", "--set", "data.wire_format=auto",
+            "--set", "model.input_channels=5",
+            "--set", "data.wire_radar_cap=64",
+        ])
+        assert rc == 2
+        assert "channel mismatch" in capsys.readouterr().err
+
+    def test_wire_on_unsupported_is_user_error(self, tmp_path):
+        """make_loaders with wire_format=on on an unsupported channel
+        config raises ConfigError — which cli.main treats as a user
+        error (exit 2), not an internal traceback."""
+        from camradepth_tpu.config import ConfigError
+
+        root = synthetic.write_synthetic_dataset(
+            tmp_path, n_frames=2, image_dimension=(32, 48))
+        cfg = DataConfig(
+            data_root=str(root), image_dimension=(32, 48),
+            wire_format="on", sparse_lidar=True,
+        )
+        with pytest.raises(ConfigError):
+            make_loaders(cfg, batch_size=1)
