@@ -409,11 +409,10 @@ class TestAdviceR4Fixes:
         error (exit 2), not an internal traceback."""
         from camradepth_tpu.config import ConfigError
 
-        root = synthetic.write_synthetic_dataset(
-            tmp_path, n_frames=2, image_dimension=(32, 48))
+        split = synthetic.generate(tmp_path, num_frames=2, hw=(32, 48))
         cfg = DataConfig(
-            data_root=str(root), image_dimension=(32, 48),
-            wire_format="on", sparse_lidar=True,
+            image_dimension=(32, 48), wire_format="on", sparse_lidar=True,
+            train_val_split=(1, 1),
         )
         with pytest.raises(ConfigError):
-            make_loaders(cfg, batch_size=1)
+            make_loaders(cfg, batch_size=1, split_path=str(split), wire=True)
