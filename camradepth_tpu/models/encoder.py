@@ -32,6 +32,7 @@ from camradepth_tpu.models.layers import (
     trunc002_init,
 )
 from camradepth_tpu.ops.attention import maxpool_attention
+from camradepth_tpu.parallel.mesh import constrain_batch
 
 Dtype = Any
 
@@ -60,10 +61,11 @@ class MixFFN(nn.Module):
     def __call__(self, x, hw: Tuple[int, int]):
         h, w = hw
         b, n, c = x.shape
-        x = _dense(self.hidden, True, "fc1", self.dtype)(x)
+        x = constrain_batch(
+            _dense(self.hidden, True, "fc1", self.dtype)(x))
         x = GroupNorm(self.divisor, dtype=self.dtype, name="norm1")(x)
         # Depthwise 3x3 over the spatial grid (ref DWConv, :313-323).
-        xs = x.reshape(b, h, w, self.hidden)
+        xs = constrain_batch(x.reshape(b, h, w, self.hidden))
         xs = nn.Conv(
             self.hidden,
             (3, 3),
@@ -75,7 +77,8 @@ class MixFFN(nn.Module):
             param_dtype=jnp.float32,
             name="dwconv",
         )(xs)
-        x = xs.reshape(b, n, self.hidden)
+        xs = constrain_batch(xs)
+        x = constrain_batch(xs.reshape(b, n, self.hidden))
         # NOTE: ref norm2 is GroupNorm(out_features//divisor, hidden) — group
         # count follows *out* features while the normalized tensor still has
         # `hidden` channels (simplified_attention.py:24). Preserve the quirk.
@@ -147,12 +150,18 @@ class MaxPoolAttention(nn.Module):
             x_kv = GroupNorm(self.divisor, dtype=self.dtype, name="norm")(x_kv)
         else:
             x_kv = x
-        k = _dense(c, self.qkv_bias, "k", self.dtype)(x_kv)
+        # Batch-anchor the projection inputs/outputs so their backward
+        # cotangents agree with the joint data x fsdp batch sharding —
+        # see parallel.mesh.constrain_batch (no-op off-mesh).
+        x_kv = constrain_batch(x_kv)
+        q = constrain_batch(q)
+        k = constrain_batch(_dense(c, self.qkv_bias, "k", self.dtype)(x_kv))
 
-        out = maxpool_attention(
+        out = constrain_batch(maxpool_attention(
             x, q, k, self.num_heads, scale, use_pallas=self.use_pallas
-        )
-        return _dense(out_features, True, "proj", self.dtype)(out)
+        ))
+        return constrain_batch(
+            _dense(out_features, True, "proj", self.dtype)(out))
 
 
 class Block(nn.Module):

@@ -121,6 +121,46 @@ def _bind(lib: ctypes.CDLL) -> None:
         i32p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
         ctypes.c_int64, i32p,
     ]
+    lib.wire_union_nonzero_f32.argtypes = [
+        f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p, ctypes.c_int64,
+        f32p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
+    ]
+    lib.wire_union_nonzero_f32.restype = ctypes.c_int64
+    lib.wire_union_nonzero_f64.argtypes = [
+        f64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p, ctypes.c_int64,
+        f64p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
+    ]
+    lib.wire_union_nonzero_f64.restype = ctypes.c_int64
+    lib.wire_gather_f32.argtypes = [
+        f32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, f32p,
+        ctypes.c_int64,
+    ]
+    lib.wire_gather_f64.argtypes = [
+        f64p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, f32p,
+        ctypes.c_int64,
+    ]
+    lib.wire_gt_sparse_f32.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float, i32p, f32p,
+        ctypes.c_int64,
+    ]
+    lib.wire_gt_sparse_f32.restype = ctypes.c_int64
+    lib.wire_gt_sparse_f64.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double, i32p, f32p,
+        ctypes.c_int64,
+    ]
+    lib.wire_gt_sparse_f64.restype = ctypes.c_int64
+    lib.gather_rows_cols_i64_to_u8.argtypes = [
+        i64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int64, u8p,
+    ]
+    lib.gather_rows_cols_i64_to_u8.restype = ctypes.c_int
+    lib.gather_rows_cols_i32_to_u8.argtypes = [
+        i32p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int64, u8p,
+    ]
+    lib.gather_rows_cols_i32_to_u8.restype = ctypes.c_int
 
 
 def available() -> bool:
@@ -286,6 +326,104 @@ def encode_inverse_depth_native(depth: np.ndarray,
     else:  # pragma: no cover - callers pre-check dtypes
         raise TypeError(f"unsupported dtype {depth.dtype}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Wire-encode kernels (data/wire.py encode_frame_wire fast path). Fused
+# GIL-free passes replacing ~20 ms/frame of numpy (union mask, GT encode +
+# sparsify, seg resize); bit-exact, pinned by tests/test_native.py.
+
+
+def wire_union_nonzero(sources, npix: int, out_idx: np.ndarray) -> int:
+    """Ascending indices of pixels where ANY strided source is nonzero.
+
+    ``sources``: list of (base_array_1d, element_stride) — all the same
+    float dtype. Writes at most len(out_idx) indices (zero-padded
+    leftovers stay 0); returns the TRUE count (overflow = count > cap).
+    """
+    lib = _load()
+    if len(sources) > 4:  # pragma: no cover - wire has at most 4 channels
+        raise ValueError("at most 4 union sources")
+    dt = sources[0][0].dtype
+    ct = ctypes.c_float if dt == np.float32 else ctypes.c_double
+    fn = (lib.wire_union_nonzero_f32 if dt == np.float32
+          else lib.wire_union_nonzero_f64)
+    args = []
+    for base, stride in sources:
+        args += [_ptr(base, ct), stride]
+    while len(args) < 8:
+        args += [None, 0]
+    return int(fn(*args, npix, _ptr(out_idx, ctypes.c_int32),
+                  len(out_idx)))
+
+
+def wire_gather(base: np.ndarray, stride: int, idx: np.ndarray, n: int,
+                use_clip: bool, lo: float, hi: float, div: float,
+                out: np.ndarray, out_offset: int, out_stride: int) -> None:
+    """out.flat[out_offset::out_stride][:n] = clip?(base[idx*stride])/div,
+    computed in the source dtype, f32 at the store (numpy op order)."""
+    lib = _load()
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    optr = ctypes.cast(out.ctypes.data + out_offset * 4,
+                       ctypes.POINTER(ctypes.c_float))
+    if base.dtype == np.float32:
+        lib.wire_gather_f32(
+            _ptr(base, ctypes.c_float), stride,
+            _ptr(idx, ctypes.c_int32), n, int(use_clip), lo, hi, div,
+            optr, out_stride,
+        )
+    else:
+        lib.wire_gather_f64(
+            _ptr(base, ctypes.c_double), stride,
+            _ptr(idx, ctypes.c_int32), n, int(use_clip), lo, hi, div,
+            optr, out_stride,
+        )
+
+
+def wire_gt_sparse(depth: np.ndarray, stride: int, npix: int,
+                   max_depth: float, out_idx: np.ndarray,
+                   out_val: np.ndarray) -> int:
+    """Fused encode_inverse_depth + sparsify over a strided f32/f64 depth
+    view; returns the true point count (overflow = count > cap)."""
+    lib = _load()
+    if depth.dtype == np.float32:
+        return int(lib.wire_gt_sparse_f32(
+            _ptr(depth, ctypes.c_float), stride, npix, max_depth,
+            _ptr(out_idx, ctypes.c_int32), _ptr(out_val, ctypes.c_float),
+            len(out_idx),
+        ))
+    return int(lib.wire_gt_sparse_f64(
+        _ptr(depth, ctypes.c_double), stride, npix, max_depth,
+        _ptr(out_idx, ctypes.c_int32), _ptr(out_val, ctypes.c_float),
+        len(out_idx),
+    ))
+
+
+def gather_resize_u8(img: np.ndarray, ri: np.ndarray,
+                     ci: np.ndarray) -> Optional[np.ndarray]:
+    """img[np.ix_(ri, ci)].astype(uint8) for int label maps; None when a
+    value falls outside [0, 255] (caller raises the descriptive error)."""
+    lib = _load()
+    h_out, w_out = len(ri), len(ci)
+    out = np.empty((h_out, w_out), np.uint8)
+    ri = np.ascontiguousarray(ri, np.int64)
+    ci = np.ascontiguousarray(ci, np.int64)
+    w_in = img.shape[1]
+    if img.dtype == np.int64:
+        rc = lib.gather_rows_cols_i64_to_u8(
+            _ptr(img, ctypes.c_int64), w_in, _ptr(ri, ctypes.c_int64),
+            _ptr(ci, ctypes.c_int64), h_out, w_out,
+            _ptr(out, ctypes.c_uint8),
+        )
+    elif img.dtype == np.int32:
+        rc = lib.gather_rows_cols_i32_to_u8(
+            _ptr(img, ctypes.c_int32), w_in, _ptr(ri, ctypes.c_int64),
+            _ptr(ci, ctypes.c_int64), h_out, w_out,
+            _ptr(out, ctypes.c_uint8),
+        )
+    else:  # pragma: no cover - callers pre-check dtypes
+        raise TypeError(f"unsupported dtype {img.dtype}")
+    return None if rc else out
 
 
 def gather_resize_i32(img: np.ndarray, ri: np.ndarray,

@@ -44,12 +44,23 @@ def group_norm(
     var = jnp.maximum(mean2 - mean * mean, 0.0)
     inv = jnp.reciprocal(jnp.sqrt(var + eps))  # [B, G]
     # Fold (x - mean) * inv * scale + bias into one scale/shift per channel.
-    scale32 = scale.astype(jnp.float32).reshape(num_groups, gsize)
-    bias32 = bias.astype(jnp.float32).reshape(num_groups, gsize)
-    eff_scale = inv[:, :, None] * scale32[None]            # [B, G, gs]
-    eff_shift = bias32[None] - mean[:, :, None] * eff_scale
-    eff_scale = eff_scale.reshape(b, 1, c).astype(x.dtype)
-    eff_shift = eff_shift.reshape(b, 1, c).astype(x.dtype)
+    # SPMD note: the per-(batch,group) stats are expanded to [B, C] BEFORE
+    # they meet the [C] params. An earlier form broadcast the params to
+    # [1, G, gsize] first, and under a batch x fsdp mesh GSPMD propagated
+    # the batch sharding onto that size-1 leading dim — an "involuntary
+    # full rematerialization" (replicate-then-repartition) on every norm
+    # in the compiled train program (spmd_partitioner.cc:652 warnings,
+    # MULTICHIP_r04). With the params kept 1-D until the final [B, C]
+    # elementwise ops, the only resharding left is a cheap [C] all-gather.
+    # Values are bit-identical: same operand pairs, same op order.
+    inv_c = jnp.repeat(inv, gsize, axis=-1)    # [B, C]
+    mean_c = jnp.repeat(mean, gsize, axis=-1)  # [B, C]
+    scale32 = scale.astype(jnp.float32)
+    bias32 = bias.astype(jnp.float32)
+    eff_scale = inv_c * scale32                # [B, C]
+    eff_shift = bias32 - mean_c * eff_scale    # [B, C]
+    eff_scale = eff_scale[:, None, :].astype(x.dtype)
+    eff_shift = eff_shift[:, None, :].astype(x.dtype)
     y = x.reshape(b, -1, c) * eff_scale + eff_shift
     return y.reshape(orig_shape)
 

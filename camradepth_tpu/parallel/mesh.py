@@ -110,9 +110,27 @@ def param_sharding_rule(mesh: Mesh, cfg: MeshConfig, min_size: int = 2 ** 16):
     def rule(x) -> NamedSharding:
         if fsdp_size == 1 or x.ndim == 0 or x.size < min_size:
             return NamedSharding(mesh, P())
-        dims = sorted(
-            range(x.ndim), key=lambda d: x.shape[d], reverse=True
-        )
+        # Depthwise conv kernels (HWIO with I==1, e.g. the MixFFN 3x3
+        # dwconv) stay replicated regardless of size: sharding their
+        # channel axis makes GSPMD partition the conv's activations by
+        # CHANNEL, which conflicts with the joint batch sharding and
+        # produces involuntary-remat resharding around every depthwise
+        # conv (spmd_partitioner.cc:652). They are tiny (9*C elements)
+        # — ZeRO savings are negligible.
+        if x.ndim == 4 and x.shape[2] == 1:
+            return NamedSharding(mesh, P())
+        if x.ndim == 4:
+            # Conv kernels (HWIO): only the channel dims are shardable.
+            # The generic largest-axis rule once picked a SPATIAL dim
+            # for square kernels (the 8x8x8x8 sr conv), and GSPMD cannot
+            # partition spatially-sharded-kernel convolutions — it
+            # resharded the weight-grad operands via replicate-then-
+            # repartition instead (spmd_partitioner.cc:652).
+            dims = [3, 2] if x.shape[3] >= x.shape[2] else [2, 3]
+        else:
+            dims = sorted(
+                range(x.ndim), key=lambda d: x.shape[d], reverse=True
+            )
         for d in dims:
             if x.shape[d] % fsdp_size == 0:
                 spec = [None] * x.ndim
@@ -137,3 +155,42 @@ def pytree_shardings(tree, mesh: Mesh, cfg: MeshConfig):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def constrain_batch(x, batch_dim: int = 0):
+    """Anchor ``batch_dim`` of an activation to the ambient mesh's batch
+    axes (whichever of ``data``/``fsdp`` are nontrivial), leaving every
+    other dim UNCONSTRAINED. No-op without a ``with mesh:`` context.
+
+    Why this exists: under the joint data x fsdp batch layout, GSPMD's
+    sharding propagation sometimes resolves the COTANGENT of an encoder
+    projection to a mixed (data-on-batch, fsdp-on-channel) sharding while
+    the forward activation is batch-sharded over both axes. The
+    weight-gradient dot then contracts operands whose contracted dims
+    disagree, and the partitioner falls back to replicate-then-repartition
+    ("[SPMD] Involuntary full rematerialization", spmd_partitioner.cc:652
+    — the MULTICHIP_r04 warnings). Constraining the forward tensor also
+    constrains its cotangent (with_sharding_constraint transposes to
+    itself), so both grad-dot operands agree and XLA emits the cheap
+    partial-dot + all-reduce instead.
+
+    Axis names are MeshConfig's defaults; spatial/token dims stay
+    UNCONSTRAINED so sp-sharded inference layouts are unaffected. Any
+    resolution failure (no mesh, axis conflicts under vmapped trials)
+    silently returns x — the constraint is an optimization hint, never
+    load-bearing for correctness."""
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        pm = _mesh_lib.thread_resources.env.physical_mesh
+        if pm.empty:
+            return x
+        axes = tuple(a for a in ("data", "fsdp")
+                     if pm.shape.get(a, 1) > 1)
+        if not axes:
+            return x
+        spec = [P.UNCONSTRAINED] * x.ndim
+        spec[batch_dim] = axes if len(axes) > 1 else axes[0]
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except Exception:
+        return x

@@ -219,4 +219,166 @@ void gather_rows_cols_i32_to_i32(const int32_t* in, int64_t w_in,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Wire-format encode kernels (data/wire.py encode_frame_wire).
+//
+// The compact wire path moved the train H2D boundary to uint8 images +
+// sparse COO radar/GT, but its HOST encode was still ~26 ms/frame of
+// GIL-held numpy passes (union mask + flatnonzero 2.5, inverse-depth
+// encode 3.9, GT sparsify 5.3, seg resize 3.6 — measured, 416x800),
+// capping the sustained wire train loop at 68% of the device ceiling
+// (TRAIN_r04.json). These kernels fuse each group into one GIL-free
+// pass with numpy's exact op order and rounding (bit-identical outputs,
+// pinned by tests/test_native.py). Reference analog: none — the
+// reference ships dense f32 tensors (dataloader.py:197-333).
+
+// Union-nonzero over up to 4 strided f32 rasters, ascending pixel order.
+// Writes at most `cap` indices; RETURNS the true total count (callers
+// detect overflow as count > cap). NaN counts as nonzero (v != 0), -0.0
+// does not — numpy's `!= 0` semantics.
+int64_t wire_union_nonzero_f32(const float* s0, int64_t st0,
+                               const float* s1, int64_t st1,
+                               const float* s2, int64_t st2,
+                               const float* s3, int64_t st3,
+                               int64_t npix, int32_t* out_idx,
+                               int64_t cap) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < npix; ++i) {
+    bool hit = (s0 && s0[i * st0] != 0.0f) || (s1 && s1[i * st1] != 0.0f) ||
+               (s2 && s2[i * st2] != 0.0f) || (s3 && s3[i * st3] != 0.0f);
+    if (hit) {
+      if (n < cap) out_idx[n] = static_cast<int32_t>(i);
+      ++n;
+    }
+  }
+  return n;
+}
+
+int64_t wire_union_nonzero_f64(const double* s0, int64_t st0,
+                               const double* s1, int64_t st1,
+                               const double* s2, int64_t st2,
+                               const double* s3, int64_t st3,
+                               int64_t npix, int32_t* out_idx,
+                               int64_t cap) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < npix; ++i) {
+    bool hit = (s0 && s0[i * st0] != 0.0) || (s1 && s1[i * st1] != 0.0) ||
+               (s2 && s2[i * st2] != 0.0) || (s3 && s3[i * st3] != 0.0);
+    if (hit) {
+      if (n < cap) out_idx[n] = static_cast<int32_t>(i);
+      ++n;
+    }
+  }
+  return n;
+}
+
+// Gather src[idx[i] * stride] with numpy's `np.clip(v, lo, hi) / div`
+// (computed in the source dtype, cast f32 at the store; NaN propagates
+// through clip and divide) into a strided output column.
+void wire_gather_f32(const float* src, int64_t stride, const int32_t* idx,
+                     int64_t n, int use_clip, float lo, float hi,
+                     float div, float* out, int64_t out_stride) {
+  for (int64_t i = 0; i < n; ++i) {
+    float v = src[static_cast<int64_t>(idx[i]) * stride];
+    if (use_clip) {
+      if (v < lo) v = lo;
+      if (v > hi) v = hi;
+    }
+    out[i * out_stride] = v / div;
+  }
+}
+
+void wire_gather_f64(const double* src, int64_t stride, const int32_t* idx,
+                     int64_t n, int use_clip, double lo, double hi,
+                     double div, float* out, int64_t out_stride) {
+  for (int64_t i = 0; i < n; ++i) {
+    double v = src[static_cast<int64_t>(idx[i]) * stride];
+    if (use_clip) {
+      if (v < lo) v = lo;
+      if (v > hi) v = hi;
+    }
+    out[i * out_stride] = static_cast<float>(v / div);
+  }
+}
+
+// Fused inverse-depth encode + sparsify: emits (idx, enc) for every pixel
+// whose FLOAT32 encoding is nonzero (the numpy path casts to f32 before
+// flatnonzero, so d == max_depth and f32-underflow pixels are excluded
+// identically). Writes at most `cap` points; returns the true count.
+int64_t wire_gt_sparse_f32(const float* depth, int64_t stride, int64_t npix,
+                           float maxd, int32_t* out_idx, float* out_val,
+                           int64_t cap) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < npix; ++i) {
+    float d = depth[i * stride];
+    if (d < 0.0f) d = 0.0f;
+    if (d > maxd) d = maxd;
+    const float e = (d > 0.0f) ? (maxd - d) / maxd : 0.0f;
+    if (e != 0.0f) {
+      if (n < cap) {
+        out_idx[n] = static_cast<int32_t>(i);
+        out_val[n] = e;
+      }
+      ++n;
+    }
+  }
+  return n;
+}
+
+int64_t wire_gt_sparse_f64(const double* depth, int64_t stride, int64_t npix,
+                           double maxd, int32_t* out_idx, float* out_val,
+                           int64_t cap) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < npix; ++i) {
+    double d = depth[i * stride];
+    if (d < 0.0) d = 0.0;
+    if (d > maxd) d = maxd;
+    const float e =
+        (d > 0.0) ? static_cast<float>((maxd - d) / maxd) : 0.0f;
+    if (e != 0.0f) {
+      if (n < cap) {
+        out_idx[n] = static_cast<int32_t>(i);
+        out_val[n] = e;
+      }
+      ++n;
+    }
+  }
+  return n;
+}
+
+// Nearest gather to uint8 with range validation (wire seg labels must fit
+// a byte). Returns 0 on success, 1 when any gathered value is outside
+// [0, 255] — callers fall back to the numpy path for the descriptive
+// error.
+int gather_rows_cols_i64_to_u8(const int64_t* in, int64_t w_in,
+                               const int64_t* ri, const int64_t* ci,
+                               int64_t h_out, int64_t w_out, uint8_t* out) {
+  for (int64_t r = 0; r < h_out; ++r) {
+    const int64_t* row = in + ri[r] * w_in;
+    uint8_t* o = out + r * w_out;
+    for (int64_t c = 0; c < w_out; ++c) {
+      const int64_t v = row[ci[c]];
+      if (v < 0 || v > 255) return 1;
+      o[c] = static_cast<uint8_t>(v);
+    }
+  }
+  return 0;
+}
+
+int gather_rows_cols_i32_to_u8(const int32_t* in, int64_t w_in,
+                               const int64_t* ri, const int64_t* ci,
+                               int64_t h_out, int64_t w_out, uint8_t* out) {
+  for (int64_t r = 0; r < h_out; ++r) {
+    const int32_t* row = in + ri[r] * w_in;
+    uint8_t* o = out + r * w_out;
+    for (int64_t c = 0; c < w_out; ++c) {
+      const int32_t v = row[ci[c]];
+      if (v < 0 || v > 255) return 1;
+      o[c] = static_cast<uint8_t>(v);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

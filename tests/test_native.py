@@ -6,6 +6,7 @@ import pytest
 import jax.numpy as jnp
 
 from camradepth_tpu import native
+from camradepth_tpu.config import DataConfig
 from camradepth_tpu.geometry.raster import quantize_points, raster_min_depth
 
 
@@ -235,3 +236,134 @@ class TestAssembleKernels:
         out = ch._assemble_frame_native(arrays, self._configs()["base"])
         assert out is not None
         assert out["features"].shape == (self.H, self.W, 7)
+
+
+class TestWireEncodeNative:
+    """C++ wire-encode fast path (native/rasterize.cc wire kernels;
+    data/wire._encode_frame_wire_native). Same contract as the assemble
+    kernels: BIT exactness with the numpy encode — the wire loader
+    switches silently and every decoded-batch golden depends on it."""
+
+    H, W = 64, 128
+
+    def _arrays(self, rng, fdtype, mdtype):
+        h, w = self.H, self.W
+        radar = np.zeros((h, w, 3), fdtype)
+        ys = rng.integers(0, h, 70)
+        xs = rng.integers(0, w, 70)
+        radar[ys, xs, 0] = rng.uniform(-5, 150, 70)  # negatives clip to 0
+        radar[ys, xs, 1] = rng.normal(0, 1, 70)
+        radar[ys, xs, 2] = rng.normal(0, 1, 70)
+        radar[0, 0] = (0.0, 0.4, -0.3)   # uv-only point
+        radar[0, 1, 0] = np.nan          # NaN is "a point" (!= 0)
+        radar[0, 2, 0] = -0.0            # -0.0 is NOT a point
+        rad_vel = np.zeros((h, w), fdtype)
+        rad_vel[1, 1] = 1.0              # vel-only point
+        gt = np.zeros((h, w, 3), fdtype)
+        m = rng.random((h, w)) < 0.3
+        gt[..., 0][m] = rng.uniform(0.5, 150, int(m.sum()))
+        gt[2, 2, 0] = 100.0              # d == max_depth -> enc 0, excluded
+        gt[2, 3, 0] = -1.0               # clips to 0, excluded
+        gt[2, 4, 0] = np.nan             # NaN -> enc 0, excluded
+        mseg = rng.integers(0, 21, (h + 8, w)).astype(mdtype)
+        mseg[0] = 255
+        rf = np.zeros((h, w), fdtype)
+        rf[ys, xs] = rng.uniform(-5, 150, 70)
+        return {
+            "image": rng.integers(0, 256, (h, w, 3)).astype(np.uint8),
+            "radar": radar, "rad_vel": rad_vel, "gt": gt, "mseg": mseg,
+            "radar_filtered": rf,
+        }
+
+    def _cfgs(self):
+        import dataclasses
+
+        from camradepth_tpu.config import DataConfig
+
+        base = DataConfig(image_dimension=(self.H, self.W))
+        return {
+            "base": base,
+            "filtered": dataclasses.replace(base, filtered_radar=True),
+            "rgbd_only": dataclasses.replace(
+                base, sparse_depth_uv=False, rad_vel=False
+            ),
+        }
+
+    @pytest.mark.parametrize("gt_cap", [4096, 0])
+    def test_bit_exact_across_variants_and_dtypes(self, gt_cap):
+        import dataclasses
+
+        from camradepth_tpu.data import wire
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(3)
+        for fdtype in (np.float32, np.float64):
+            for mdtype in (np.int64, np.int32):
+                arrays = self._arrays(rng, fdtype, mdtype)
+                for name, cfg in self._cfgs().items():
+                    plan = wire.WirePlan(
+                        radar_cap=256, gt_cap=gt_cap,
+                        n_radar_ch=wire.radar_channel_count(cfg),
+                    )
+                    nat = wire.encode_frame_wire(
+                        arrays,
+                        dataclasses.replace(cfg, native_assemble=True),
+                        plan,
+                    )
+                    ref = wire.encode_frame_wire(
+                        arrays,
+                        dataclasses.replace(cfg, native_assemble=False),
+                        plan,
+                    )
+                    assert set(nat) == set(ref)
+                    for k in ref:
+                        assert nat[k].dtype == ref[k].dtype, (
+                            name, fdtype, mdtype, k,
+                        )
+                        np.testing.assert_array_equal(
+                            nat[k], ref[k],
+                            err_msg=f"{name} {fdtype} {mdtype} gt{gt_cap} {k}",
+                        )
+
+    def test_overflow_matches_numpy(self):
+        import dataclasses
+
+        from camradepth_tpu.data import wire
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(4)
+        arrays = self._arrays(rng, np.float32, np.int64)
+        cfg = DataConfig(image_dimension=(self.H, self.W))
+        plan = wire.WirePlan(radar_cap=8, gt_cap=4096, n_radar_ch=4)
+        for native_assemble in (True, False):
+            with pytest.raises(wire.WireOverflowError,
+                               match="exceed the wire cap 8"):
+                wire.encode_frame_wire(
+                    arrays,
+                    dataclasses.replace(cfg, native_assemble=native_assemble),
+                    plan,
+                )
+
+    def test_out_of_range_seg_matches_numpy(self):
+        """Labels above 255 can't ride the u8 wire: the native path must
+        fall back so the numpy path raises its descriptive error."""
+        import dataclasses
+
+        from camradepth_tpu.data import wire
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(5)
+        arrays = self._arrays(rng, np.float32, np.int64)
+        arrays["mseg"][5, 5] = 1000
+        cfg = DataConfig(image_dimension=(self.H, self.W))
+        plan = wire.WirePlan(radar_cap=256, gt_cap=0, n_radar_ch=4)
+        for native_assemble in (True, False):
+            with pytest.raises(ValueError, match="uint8 range"):
+                wire.encode_frame_wire(
+                    arrays,
+                    dataclasses.replace(cfg, native_assemble=native_assemble),
+                    plan,
+                )
