@@ -173,6 +173,16 @@ class DataConfig:
     wire_format: str = "off"
     wire_radar_cap: int = 0  # points/frame; 0 = probe the dataset
     wire_gt_cap: int = 0     # points/frame; 0 = probe (dense if big)
+    # Ship seg label planes over the wire. The train step reads
+    # batch["seg"] only when model.supervised_seg (losses.py:134) and
+    # batch["seg_inter"] only when train.seg_inter_loss on top of that
+    # — for every other config the planes are dead H2D weight (~0.42
+    # MB/frame through the ~130 MB/s axon tunnel, where transfers do
+    # NOT overlap device compute). Trainer/cli resolve these from the
+    # full config via wire.resolve_wire_ship; True = unconditional
+    # (library callers building loaders directly keep old behavior).
+    wire_ship_seg: bool = True
+    wire_ship_seg_inter: bool = True
 
     @property
     def effective_train_val_split(self) -> Tuple[int, int]:

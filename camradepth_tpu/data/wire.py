@@ -59,6 +59,12 @@ class WirePlan:
     radar_cap: int          # points per frame, padded
     gt_cap: int             # 0 = GT ships dense f32 (sparse won't pay)
     n_radar_ch: int         # R: channels in the sparse radar group
+    # seg label planes ride the wire only when the consuming config
+    # reads them (DataConfig.wire_ship_seg*): batch["seg"] feeds the
+    # supervised seg loss / IoU only, batch["seg_inter"] only the
+    # optional seg_inter_loss — everything else pays pure H2D bytes.
+    ship_seg: bool = True
+    ship_seg_inter: bool = True
 
 
 def _roundup(n: int, to: int) -> int:
@@ -170,11 +176,33 @@ def plan_wire(
     if radar_cap * (4 + 4 * n_radar_ch) >= h * w * 4 * n_radar_ch // 2:
         return None
     return WirePlan(radar_cap=radar_cap, gt_cap=gt_cap,
-                    n_radar_ch=n_radar_ch)
+                    n_radar_ch=n_radar_ch,
+                    ship_seg=cfg.wire_ship_seg,
+                    ship_seg_inter=cfg.wire_ship_seg_inter)
 
 
 class WireOverflowError(ValueError):
     pass
+
+
+def resolve_wire_ship(cfg) -> "DataConfig":
+    """DataConfig with wire_ship_seg/_inter narrowed to what this
+    ExperimentConfig actually consumes: batch["seg"] feeds only the
+    supervised seg loss (losses.py:133-135) and the IoU metric
+    (evaluation/harness.py:57-60), batch["seg_inter"] only the optional
+    stage-4 seg loss (train.seg_inter_loss) — for configs without those
+    the planes are dead weight on the H2D wire (~0.42 MB/frame at
+    416x800). Never widens: an explicit False stays False."""
+    sup = bool(cfg.model.supervised_seg)
+    return dataclasses.replace(
+        cfg.data,
+        wire_ship_seg=cfg.data.wire_ship_seg and sup,
+        wire_ship_seg_inter=(
+            cfg.data.wire_ship_seg_inter
+            and sup
+            and bool(cfg.train.seg_inter_loss)
+        ),
+    )
 
 
 def _pix_view(s: np.ndarray):
@@ -267,16 +295,20 @@ def _encode_frame_wire_native(
         )
 
     mseg = mseg[:h, :]
-    ri, ci = ch._order0_indices(mseg.shape[0], mseg.shape[1], (h, w))
-    ri2, ci2 = ch._order0_indices(
-        mseg.shape[0], mseg.shape[1], (h // 2, w // 2)
-    )
-    seg = native.gather_resize_u8(mseg, ri, ci)
-    seg_inter = native.gather_resize_u8(mseg, ri2, ci2)
-    if seg is None or seg_inter is None:
-        return None  # labels outside uint8 — numpy path raises nicely
-    out["seg"] = seg
-    out["seg_inter"] = seg_inter
+    if plan.ship_seg:
+        ri, ci = ch._order0_indices(mseg.shape[0], mseg.shape[1], (h, w))
+        seg = native.gather_resize_u8(mseg, ri, ci)
+        if seg is None:
+            return None  # labels outside uint8 — numpy path raises nicely
+        out["seg"] = seg
+    if plan.ship_seg_inter:
+        ri2, ci2 = ch._order0_indices(
+            mseg.shape[0], mseg.shape[1], (h // 2, w // 2)
+        )
+        seg_inter = native.gather_resize_u8(mseg, ri2, ci2)
+        if seg_inter is None:
+            return None
+        out["seg_inter"] = seg_inter
     return out
 
 
@@ -356,16 +388,20 @@ def encode_frame_wire(
         out["gt_depth"] = enc
 
     mseg = arrays["mseg"][:h, :]
-    seg = ch.resize_order0(mseg, (h, w))
-    seg_inter = ch.resize_order0(mseg, (h // 2, w // 2))
-    if seg.min() < 0 or seg.max() > 255:
-        raise ValueError(
-            f"seg labels outside uint8 range [{seg.min()}, {seg.max()}] "
-            "— wire codec expects the remapped 21-class + 255-ignore "
-            "label space"
-        )
-    out["seg"] = seg.astype(np.uint8)
-    out["seg_inter"] = seg_inter.astype(np.uint8)
+    if plan.ship_seg or plan.ship_seg_inter:
+        seg = ch.resize_order0(mseg, (h, w))
+        if seg.min() < 0 or seg.max() > 255:
+            raise ValueError(
+                f"seg labels outside uint8 range [{seg.min()}, "
+                f"{seg.max()}] — wire codec expects the remapped "
+                "21-class + 255-ignore label space"
+            )
+        if plan.ship_seg:
+            out["seg"] = seg.astype(np.uint8)
+        if plan.ship_seg_inter:
+            out["seg_inter"] = ch.resize_order0(
+                mseg, (h // 2, w // 2)
+            ).astype(np.uint8)
     return out
 
 

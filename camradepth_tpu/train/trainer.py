@@ -34,6 +34,7 @@ from camradepth_tpu.config import (
     MeshConfig,
     num_epochs_for_steps,
 )
+from camradepth_tpu.data import wire
 from camradepth_tpu.data.pipeline import make_loaders
 from camradepth_tpu.models.camradepth import CamRaDepth
 from camradepth_tpu.parallel import multihost
@@ -280,7 +281,8 @@ class Trainer:
             )
         else:
             self.loaders = loaders or make_loaders(
-                cfg.data, cfg.train.batch_size, wire=wire_ok,
+                wire.resolve_wire_ship(cfg) if wire_ok else cfg.data,
+                cfg.train.batch_size, wire=wire_ok,
                 wire_eval=wire_ok,
             )
 

@@ -106,6 +106,78 @@ class TestCodecBitExact:
             wire.encode_frame_wire(arrays, cfg, plan)
 
 
+class TestShipGating:
+    """Round-5: seg label planes ride the wire only when the config
+    reads them (wire.resolve_wire_ship) — the base preset paid ~0.42
+    MB/frame of dead H2D weight for labels losses.py never touched."""
+
+    @pytest.mark.parametrize("native", [False, True])
+    def test_encode_omits_unshipped_planes(self, native):
+        rng = np.random.default_rng(11)
+        arrays = _frame_arrays(rng)
+        cfg = DataConfig(image_dimension=(32, 48),
+                         native_assemble=native)
+        full = wire.encode_frame_wire(
+            arrays, cfg,
+            wire.WirePlan(radar_cap=256, gt_cap=256, n_radar_ch=4))
+        bare = wire.encode_frame_wire(
+            arrays, cfg,
+            wire.WirePlan(radar_cap=256, gt_cap=256, n_radar_ch=4,
+                          ship_seg=False, ship_seg_inter=False))
+        assert "seg" not in bare and "seg_inter" not in bare
+        # every shipped plane is byte-identical to the full encode
+        for k in bare:
+            np.testing.assert_array_equal(bare[k], full[k])
+        # decode tolerates the absence and matches the dense features
+        dense = ch.assemble_frame(arrays, cfg)
+        dec = _decode_np(bare)
+        assert "seg" not in dec and "seg_inter" not in dec
+        np.testing.assert_array_equal(dec["features"], dense["features"])
+        np.testing.assert_array_equal(dec["gt_depth"], dense["gt_depth"])
+
+    def test_seg_only_final_plane(self):
+        rng = np.random.default_rng(12)
+        arrays = _frame_arrays(rng)
+        cfg = DataConfig(image_dimension=(32, 48))
+        enc = wire.encode_frame_wire(
+            arrays, cfg,
+            wire.WirePlan(radar_cap=256, gt_cap=256, n_radar_ch=4,
+                          ship_seg=True, ship_seg_inter=False))
+        assert "seg" in enc and "seg_inter" not in enc
+
+    def test_resolver_narrows_per_config(self):
+        from camradepth_tpu.config import preset
+
+        base = preset("base")
+        d = wire.resolve_wire_ship(base)
+        assert not d.wire_ship_seg and not d.wire_ship_seg_inter
+        seg = preset("sup_unsup_seg")
+        d = wire.resolve_wire_ship(seg)
+        assert d.wire_ship_seg and not d.wire_ship_seg_inter  # inter off
+        seg_i = seg.replace(
+            train=dataclasses.replace(seg.train, seg_inter_loss=True)
+        )
+        assert wire.resolve_wire_ship(seg_i).wire_ship_seg_inter
+        # never widens: explicit False survives a supervised config
+        seg_off = seg.replace(
+            data=dataclasses.replace(seg.data, wire_ship_seg=False)
+        )
+        assert not wire.resolve_wire_ship(seg_off).wire_ship_seg
+
+    def test_plan_carries_ship_flags(self, tmp_path):
+        split = synthetic.generate(tmp_path / "d", num_frames=2,
+                                   hw=(32, 64), seed=3)
+        cfg = DataConfig(split_path=str(split), image_dimension=(32, 64),
+                         wire_ship_seg=False, wire_ship_seg_inter=False)
+        rows = load_split(split)
+        plan = wire.plan_wire(rows, cfg)
+        assert plan is not None
+        assert not plan.ship_seg and not plan.ship_seg_inter
+        enc = wire.encode_frame_wire(load_frame_arrays(rows[0], cfg),
+                                     cfg, plan)
+        assert "seg" not in enc
+
+
 class TestPlan:
     def test_unsupported_configs_fall_back(self):
         assert not wire.wire_supported(
